@@ -1,0 +1,131 @@
+"""Architecture contract: detection conditions, metadata, and the SRModel
+runtime object returned by the loaders.
+
+Mirrors the reference contract (resselt/factory/arch.py:12-36,
+resselt/factory/key_condition.py:6-33) with a JAX-native model object:
+params are a state-dict-shaped pytree of jnp arrays and the forward pass is
+a pure, jit-compiled function of ``(params, x)``.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Literal, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class KeyCondition:
+    """Recursive boolean key-presence predicate over a state dict
+    (reference: resselt/factory/key_condition.py:6-33)."""
+
+    def __init__(self, kind: Literal['all', 'any'], keys: tuple['str | KeyCondition', ...]):
+        self._kind = kind
+        self._keys = keys
+
+    @staticmethod
+    def has_all(*keys: 'str | KeyCondition') -> 'KeyCondition':
+        return KeyCondition('all', keys)
+
+    @staticmethod
+    def has_any(*keys: 'str | KeyCondition') -> 'KeyCondition':
+        return KeyCondition('any', keys)
+
+    def __call__(self, state_dict: Mapping[str, Any]) -> bool:
+        def check(key: 'str | KeyCondition') -> bool:
+            if isinstance(key, KeyCondition):
+                return key(state_dict)
+            return key in state_dict
+
+        op = all if self._kind == 'all' else any
+        return op(check(k) for k in self._keys)
+
+
+@dataclass
+class ModelMetadata:
+    """SR model metadata attached to every loaded model
+    (reference: resselt/factory/arch.py:12-19)."""
+
+    in_channels: int
+    out_channels: int
+    upscale: int | Sequence[int]
+    name: str
+
+
+def _to_jax_params(params: Mapping[str, np.ndarray], keep_dtypes: bool = False):
+    out = {}
+    for k, v in params.items():
+        arr = np.asarray(v)
+        if not keep_dtypes and arr.dtype.kind == 'f' and arr.dtype.itemsize != 4:
+            arr = arr.astype(np.float32)
+        elif not keep_dtypes and arr.dtype.name == 'bfloat16':
+            arr = arr.astype(np.float32)
+        out[k] = jnp.asarray(arr)
+    return out
+
+
+class SRModel:
+    """A loaded super-resolution model.
+
+    * ``params``: flat dict of jnp arrays keyed by the (transformed)
+      checkpoint names, torch tensor layouts preserved (conv = OIHW,
+      linear = (out, in)); layout adaptation happens inside the nn helpers.
+    * ``apply_fn(config, params, x)``: pure function, ``x`` is NHWC float.
+    * ``__call__``: jit-compiled, shape-specializing entry point.
+    """
+
+    def __init__(
+        self,
+        arch_id: str,
+        config: Any,
+        params: Mapping[str, np.ndarray],
+        metadata: ModelMetadata,
+        apply_fn: Callable[[Any, Mapping[str, jax.Array], jax.Array], jax.Array],
+    ):
+        self.arch_id = arch_id
+        self.config = config
+        self.params = _to_jax_params(params)
+        self.parameters_info = metadata  # reference attribute name
+        self.metadata = metadata
+        self._apply_fn = apply_fn
+        self._jitted = jax.jit(functools.partial(apply_fn, config))
+
+    @property
+    def upscale(self) -> int | Sequence[int]:
+        return self.metadata.upscale
+
+    def apply(self, params, x: jax.Array) -> jax.Array:
+        """Un-jitted forward (for composition under an outer jit/shard_map)."""
+        return self._apply_fn(self.config, params, x)
+
+    def __call__(self, x, dtype=None) -> jax.Array:
+        """Run the model on an NHWC (or HWC) float image batch in [0, 1]."""
+        x = jnp.asarray(x)
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        if dtype is not None:
+            x = x.astype(dtype)
+        elif x.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+            x = x.astype(jnp.float32)
+        y = self._jitted(self.params, x)
+        return y[0] if squeeze else y
+
+
+@dataclass
+class Architecture:
+    """Detection + loading adapter for one architecture family
+    (reference: resselt/factory/arch.py:22-36)."""
+
+    id: str
+    detect_condition: KeyCondition = field(repr=False)
+    load_fn: Callable[[Mapping[str, np.ndarray]], SRModel] = field(repr=False)
+
+    def detect(self, state_dict: Mapping[str, Any]) -> bool:
+        return self.detect_condition(state_dict)
+
+    def load(self, state_dict: Mapping[str, Any]) -> SRModel:
+        return self.load_fn(state_dict)

@@ -1,0 +1,64 @@
+"""Checkpoint ingestion: torch pickle (zip + legacy), safetensors, TorchScript.
+
+File-type dispatch mirrors the reference (resselt/registry.py:79-104) but
+produces numpy-valued state dicts with no torch-runtime dependency.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from typing import Any, Mapping
+
+import numpy as np
+
+from .safetensors_io import read_safetensors
+from .torch_pickle import UnsafeCheckpointError, read_torch_checkpoint
+
+__all__ = ['load_state_dict_from_file', 'read_safetensors', 'read_torch_checkpoint', 'UnsafeCheckpointError']
+
+
+def _is_torchscript(path: str) -> bool:
+    try:
+        with zipfile.ZipFile(path) as zf:
+            names = zf.namelist()
+        return any(n.endswith('constants.pkl') for n in names)
+    except zipfile.BadZipFile:
+        return False
+
+
+def _read_torchscript_state_dict(path: str) -> Mapping[str, Any]:
+    """TorchScript archives embed compiled code; extracting the state dict
+    requires the torch runtime (same as the reference, resselt/registry.py:81-83).
+    Only used for ``.pt`` files that are actual TorchScript exports."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise ValueError(
+            'TorchScript archives require torch to deserialize; plain torch.save checkpoints do not.'
+        ) from e
+    module = torch.jit.load(path, map_location='cpu')
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def load_state_dict_from_file(path: str) -> Mapping[str, Any]:
+    """Read a checkpoint file into a (possibly nested) numpy state dict."""
+    extension = os.path.splitext(path)[1].lower()
+    if extension == '.pt':
+        if _is_torchscript(path):
+            return _read_torchscript_state_dict(path)
+        return read_torch_checkpoint(path)
+    if extension in ('.pth', '.ckpt'):
+        return read_torch_checkpoint(path)
+    if extension == '.safetensors':
+        return read_safetensors(path)
+    raise ValueError(f'Unsupported model file extension {extension}. Please try a supported model type.')
+
+
+def to_float32(value: np.ndarray) -> np.ndarray:
+    """Upcast half/bfloat16 checkpoint tensors to f32 for compute."""
+    if value.dtype.kind == 'f' and value.dtype.itemsize < 4:
+        return value.astype(np.float32)
+    if value.dtype.kind == 'V' or value.dtype.name == 'bfloat16':
+        return value.astype(np.float32)
+    return value

@@ -1,0 +1,224 @@
+"""Pure-Python reader for PyTorch checkpoint files.
+
+Reads ``.pth`` / ``.ckpt`` / ``.pt`` files into plain numpy arrays without
+importing torch.  Security model mirrors the reference's restricted
+unpickler (reference: resselt/registry.py:20-46): only data-bearing
+globals are allowed; any callable global outside the allow-list raises.
+
+Supports both on-disk formats produced by ``torch.save``:
+
+* the modern zipfile container (``archive/data.pkl`` + raw storage blobs
+  under ``archive/data/<key>``), and
+* the legacy streaming format (magic-number pickle, protocol pickle,
+  sys-info pickle, object pickle with persistent ids, storage-key list,
+  then raw storages each prefixed by an int64 element count).
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import struct
+import zipfile
+from typing import Any, BinaryIO, Callable
+
+import numpy as np
+
+try:  # bfloat16 via ml_dtypes (ships with jax)
+    import ml_dtypes
+
+    _BFLOAT16 = np.dtype(ml_dtypes.bfloat16)
+except Exception:  # pragma: no cover
+    _BFLOAT16 = None
+
+
+class UnsafeCheckpointError(pickle.UnpicklingError):
+    pass
+
+
+# Storage-type name -> numpy dtype. Data-only analogue of the reference
+# allow-list (resselt/registry.py:20-30) plus storage types the reference
+# forgot but its own archs need (uint8 MetaUpsample buffers, bool markers).
+_STORAGE_DTYPES: dict[str, np.dtype] = {
+    'FloatStorage': np.dtype('<f4'),
+    'DoubleStorage': np.dtype('<f8'),
+    'HalfStorage': np.dtype('<f2'),
+    'LongStorage': np.dtype('<i8'),
+    'IntStorage': np.dtype('<i4'),
+    'ShortStorage': np.dtype('<i2'),
+    'CharStorage': np.dtype('<i1'),
+    'ByteStorage': np.dtype('<u1'),
+    'BoolStorage': np.dtype('?'),
+    'ComplexFloatStorage': np.dtype('<c8'),
+    'ComplexDoubleStorage': np.dtype('<c16'),
+}
+if _BFLOAT16 is not None:
+    _STORAGE_DTYPES['BFloat16Storage'] = _BFLOAT16
+
+
+class _StorageType:
+    """Sentinel returned by find_class for ``torch.XStorage`` globals."""
+
+    __slots__ = ('dtype',)
+
+    def __init__(self, dtype: np.dtype):
+        self.dtype = dtype
+
+
+class _Storage:
+    """A (possibly not-yet-filled) flat storage buffer."""
+
+    __slots__ = ('data', 'dtype')
+
+    def __init__(self, dtype: np.dtype, data: np.ndarray | None = None):
+        self.dtype = dtype
+        self.data = data
+
+
+class _LazyTensor:
+    """Tensor view over a storage that may be filled in later (legacy fmt)."""
+
+    __slots__ = ('storage', 'offset', 'size', 'stride')
+
+    def __init__(self, storage: _Storage, offset: int, size, stride):
+        self.storage = storage
+        self.offset = offset
+        self.size = tuple(size)
+        self.stride = tuple(stride)
+
+    def materialize(self) -> np.ndarray:
+        buf = self.storage.data
+        if buf is None:
+            raise ValueError('Storage data never deserialized')
+        dtype = self.storage.dtype
+        if len(self.size) == 0:
+            return buf[self.offset].copy().reshape(())
+        strides = tuple(s * dtype.itemsize for s in self.stride)
+        view = np.lib.stride_tricks.as_strided(buf[self.offset :], shape=self.size, strides=strides)
+        return np.ascontiguousarray(view)
+
+
+def _rebuild_tensor_v2(storage, storage_offset, size, stride, requires_grad=False, backward_hooks=None, metadata=None):
+    lazy = _LazyTensor(storage, storage_offset, size, stride)
+    return lazy if storage.data is None else lazy.materialize()
+
+
+def _rebuild_tensor(storage, storage_offset, size, stride):
+    return _rebuild_tensor_v2(storage, storage_offset, size, stride)
+
+
+def _rebuild_parameter(data, requires_grad=False, backward_hooks=None):
+    return data
+
+
+_SAFE_GLOBALS: dict[tuple[str, str], Any] = {
+    ('collections', 'OrderedDict'): dict,
+    ('typing', 'OrderedDict'): dict,
+    ('torch._utils', '_rebuild_tensor_v2'): _rebuild_tensor_v2,
+    ('torch._utils', '_rebuild_tensor'): _rebuild_tensor,
+    ('torch._utils', '_rebuild_parameter'): _rebuild_parameter,
+    ('torch.serialization', '_get_layout'): lambda name: name,
+    ('torch', 'Size'): tuple,
+}
+
+
+class _Unpickler(pickle.Unpickler):
+    """Restricted unpickler resolving torch globals to numpy builders."""
+
+    def __init__(self, file: BinaryIO, load_storage: Callable[[str, np.dtype, int], _Storage] | None = None):
+        super().__init__(file, encoding='latin1')
+        self._load_storage = load_storage
+
+    def find_class(self, module: str, name: str):
+        if (module, name) in _SAFE_GLOBALS:
+            return _SAFE_GLOBALS[(module, name)]
+        if module == 'torch' and name in _STORAGE_DTYPES:
+            return _StorageType(_STORAGE_DTYPES[name])
+        raise UnsafeCheckpointError(f"Global '{module}.{name}' is forbidden in checkpoints")
+
+    def persistent_load(self, pid):
+        # ('storage', storage_type, key, location, numel[, view_metadata])
+        if not (isinstance(pid, tuple) and len(pid) in (5, 6) and pid[0] == 'storage'):
+            raise UnsafeCheckpointError(f'Unsupported persistent id: {pid!r}')
+        _, storage_type, key, _location, numel = pid[:5]
+        if not isinstance(storage_type, _StorageType):
+            raise UnsafeCheckpointError(f'Unsupported storage type: {storage_type!r}')
+        if self._load_storage is None:
+            raise UnsafeCheckpointError('Unexpected persistent id in metadata pickle')
+        return self._load_storage(str(key), storage_type.dtype, int(numel))
+
+
+def _materialize(obj):
+    if isinstance(obj, _LazyTensor):
+        return obj.materialize()
+    if isinstance(obj, dict):
+        return {k: _materialize(v) for k, v in obj.items()}
+    if isinstance(obj, np.ndarray):
+        return obj
+    if isinstance(obj, (list, tuple)):
+        vals = [_materialize(v) for v in obj]
+        return vals if isinstance(obj, list) else tuple(vals)
+    return obj
+
+
+def _read_zip(zf: zipfile.ZipFile) -> Any:
+    prefix = None
+    for name in zf.namelist():
+        if name.endswith('data.pkl'):
+            prefix = name[: -len('data.pkl')]
+            break
+    if prefix is None:
+        raise ValueError('Not a torch zip checkpoint: no data.pkl member')
+
+    cache: dict[str, _Storage] = {}
+
+    def load_storage(key: str, dtype: np.dtype, numel: int) -> _Storage:
+        if key not in cache:
+            raw = zf.read(f'{prefix}data/{key}')
+            cache[key] = _Storage(dtype, np.frombuffer(raw, dtype=dtype))
+        return cache[key]
+
+    with zf.open(prefix + 'data.pkl') as f:
+        obj = _Unpickler(io.BytesIO(f.read()), load_storage).load()
+    return _materialize(obj)
+
+
+_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+
+
+def _read_legacy(f: BinaryIO) -> Any:
+    def plain(b):
+        return _Unpickler(b).load()
+
+    magic = plain(f)
+    if magic != _LEGACY_MAGIC:
+        raise ValueError('Invalid legacy torch checkpoint magic number')
+    plain(f)  # protocol version
+    plain(f)  # sys info
+
+    storages: dict[str, _Storage] = {}
+
+    def load_storage(key: str, dtype: np.dtype, numel: int) -> _Storage:
+        return storages.setdefault(key, _Storage(dtype))
+
+    result = _Unpickler(f, load_storage).load()
+
+    keys = plain(f)
+    for key in keys:
+        st = storages[key]
+        (numel,) = struct.unpack('<q', f.read(8))
+        raw = f.read(numel * st.dtype.itemsize)
+        st.data = np.frombuffer(raw, dtype=st.dtype)
+
+    return _materialize(result)
+
+
+def read_torch_checkpoint(path: str) -> Any:
+    """Read a ``torch.save`` file into numpy-valued python objects."""
+    with open(path, 'rb') as f:
+        head = f.read(4)
+        f.seek(0)
+        if head[:4] == b'PK\x03\x04':
+            with zipfile.ZipFile(f) as zf:
+                return _read_zip(zf)
+        return _read_legacy(f)

@@ -1,0 +1,106 @@
+"""Tests for checkpoint io, canonicalization, KeyCondition, registry."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+import torch
+
+from resselt_tpu.core import (
+    KeyCondition,
+    canonicalize_state_dict,
+    get_pixelshuffle_params,
+    get_seq_len,
+    pixelshuffle_scale,
+)
+from resselt_tpu.io import UnsafeCheckpointError, load_state_dict_from_file, read_torch_checkpoint
+
+
+def test_read_zip_and_legacy(tmp_path):
+    sd = {
+        'w': torch.randn(4, 3, 3, 3),
+        'h': torch.randn(5).half(),
+        'bf': torch.randn(5).to(torch.bfloat16),
+        'u8': torch.tensor([1, 2, 3], dtype=torch.uint8),
+        'i64': torch.tensor(7),
+    }
+    for name, kwargs in [('new.pth', {}), ('old.pth', {'_use_new_zipfile_serialization': False})]:
+        p = tmp_path / name
+        torch.save(sd, p, **kwargs)
+        out = read_torch_checkpoint(str(p))
+        for k, v in sd.items():
+            np.testing.assert_allclose(
+                np.asarray(out[k], dtype=np.float64), v.float().numpy().astype(np.float64)
+            )
+
+
+def test_safetensors_roundtrip(tmp_path):
+    import safetensors.torch
+
+    sd = {'a': torch.randn(3, 4), 'b': torch.randn(2).half(), 'c': torch.randn(2).to(torch.bfloat16)}
+    p = tmp_path / 'm.safetensors'
+    safetensors.torch.save_file(sd, str(p))
+    out = load_state_dict_from_file(str(p))
+    for k, v in sd.items():
+        np.testing.assert_allclose(np.asarray(out[k], dtype=np.float64), v.float().numpy(), rtol=1e-6, atol=1e-6)
+
+
+def test_evil_pickle_rejected(tmp_path):
+    p = tmp_path / 'evil.pth'
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ('true',))
+
+    with open(p, 'wb') as f:
+        pickle.dump({'x': Evil()}, f)
+    with pytest.raises(Exception):
+        read_torch_checkpoint(str(p))
+
+
+def test_unknown_extension(tmp_path):
+    p = tmp_path / 'x.onnx'
+    p.write_bytes(b'\x00')
+    with pytest.raises(ValueError):
+        load_state_dict_from_file(str(p))
+
+
+def test_canonicalize_unwrap_and_prefix():
+    inner = {'module.conv.weight': np.zeros(1), 'module.conv.bias': np.zeros(1)}
+    sd = canonicalize_state_dict({'params_ema': inner})
+    assert set(sd.keys()) == {'conv.weight', 'conv.bias'}
+    # no unwrap when key missing
+    sd2 = canonicalize_state_dict({'conv.weight': np.zeros(1)})
+    assert 'conv.weight' in sd2
+
+
+def test_key_condition():
+    sd = {'a': 1, 'b': 2}
+    assert KeyCondition.has_all('a', 'b')(sd)
+    assert not KeyCondition.has_all('a', 'c')(sd)
+    assert KeyCondition.has_any('c', KeyCondition.has_all('a'))(sd)
+    assert not KeyCondition.has_any('c', 'd')(sd)
+
+
+def test_seq_len_and_ps_params():
+    sd = {
+        'body.0.w': 0, 'body.1.w': 0, 'body.11.x.y': 0,
+        'upsample.0.weight': np.zeros((64 * 4, 64, 3, 3)),
+        'upsample.2.weight': np.zeros((64 * 4, 64, 3, 3)),
+    }
+    assert get_seq_len(sd, 'body') == 12
+    assert get_seq_len(sd, 'nothing') == 0
+    scale, nf = get_pixelshuffle_params(sd, 'upsample')
+    assert (scale, nf) == (4, 64)
+    assert pixelshuffle_scale(3 * 16, 3) == 4
+
+
+def test_registry_typed_error():
+    from resselt_tpu.core import ArchitectureNotFound, Registry
+
+    r = Registry()
+    with pytest.raises(ArchitectureNotFound):
+        r.get('nope')
+    with pytest.raises(ArchitectureNotFound):
+        r.load_from_state_dict({'not.a.key': np.zeros(1)})
