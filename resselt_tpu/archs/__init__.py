@@ -34,6 +34,9 @@ def register_arch_module(mod_name: str) -> None:
 
 # -- ordered family list (grows as families are implemented) ---------------
 _ARCH_MODULES += [
+    'span',
+    'esrgan',
+    'compact',
     'spanplus',  # weak single-key fingerprint in the reference; keep late as more archs land
 ]
 
