@@ -36,6 +36,8 @@ def register_arch_module(mod_name: str) -> None:
 _ARCH_MODULES += [
     'span',
     'esrgan',
+    'plksr',
+    'mosr',
     'compact',
     'spanplus',  # weak single-key fingerprint in the reference; keep late as more archs land
 ]

@@ -99,3 +99,43 @@ def test_esrgan_new_arch_keys():
     want = run_torch(ref, x)
     got = np.asarray(model(x))
     assert max_err(got, want) < TOL
+
+
+@pytest.mark.parametrize('lk_type,ccm', [('PLK', 'CCM'), ('PLK', 'DCCM'), ('PLK', 'ICCM'),
+                                         ('SparsePLK', 'DCCM'), ('RectSparsePLK', 'DCCM')])
+def test_plksr(lk_type, ccm):
+    from resselt.archs.plksr.plksr import plksr
+
+    ref = init_random(
+        plksr(dim=16, n_blocks=2, upscaling_factor=2, ccm_type=ccm,
+              kernel_size=9, split_ratio=0.25, lk_type=lk_type, use_ea=True), 6
+    ).eval()
+    x = np.random.default_rng(0).random((1, 14, 13, 3), dtype=np.float32)
+    _roundtrip(ref, x, 'PLKSR', 2)
+
+
+@pytest.mark.parametrize('dys,use_ea,scale', [(False, True, 4), (True, True, 2), (False, False, 2), (True, False, 3)])
+def test_realplksr(dys, use_ea, scale):
+    from resselt.archs.plksr.rplksr import realplksr
+
+    ref = init_random(
+        realplksr(dim=16, n_blocks=2, upscaling_factor=scale, kernel_size=9,
+                  split_ratio=0.25, use_ea=use_ea, norm_groups=4, dysample=dys), 7
+    ).eval()
+    x = np.random.default_rng(0).random((1, 12, 10, 3), dtype=np.float32)
+    model = _roundtrip(ref, x, 'PLKSR', scale)
+    assert model.metadata.name == 'RealPLKSR'
+    assert model.config.dys is dys
+
+
+@pytest.mark.parametrize('upsampler,scale', [('ps', 2), ('dys', 2), ('gps', 4)])
+def test_mosr(upsampler, scale):
+    from resselt.archs.mosr.arch import mosr
+
+    ref = init_random(
+        mosr(n_block=2, dim=16, upscale=scale, upsampler=upsampler,
+             expansion_ratio=1.5, conv_ratio=1.0, kernel_size=7), 8
+    ).eval()
+    x = np.random.default_rng(0).random((1, 11, 13, 3), dtype=np.float32)
+    model = _roundtrip(ref, x, 'MoSR', scale)
+    assert model.config.upsampler == upsampler
