@@ -37,6 +37,8 @@ _ARCH_MODULES += [
     'span',
     'esrgan',
     'plksr',
+    'mosrv2',
+    'moesr',
     'mosr',
     'compact',
     'spanplus',  # weak single-key fingerprint in the reference; keep late as more archs land

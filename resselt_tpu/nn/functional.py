@@ -463,3 +463,11 @@ def to_nhwc(x_nchw):
 
 def to_nchw(x_nhwc):
     return jnp.transpose(x_nhwc, (0, 3, 1, 2))
+
+
+def rms_norm_ref(x, scale, offset, eps: float = 1e-6):
+    """RMSNorm with eps added *outside* the sqrt, matching the reference's
+    channel-dim RMSNorm (resselt/archs/mosrv2/arch.py:212-224)."""
+    rms = jnp.sqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True))
+    x_normed = x / (rms + eps)
+    return scale.reshape(-1).astype(x.dtype) * x_normed + offset.reshape(-1).astype(x.dtype)

@@ -48,3 +48,52 @@ def dysample(p: PTree, x, scale: int, groups: int = 4, end_convolution: bool = T
 def conv_pixel_shuffle(p: PTree, x, conv_key: str, scale: int, padding='same'):
     """conv3x3 -> PixelShuffle tail."""
     return F.pixel_shuffle(p.conv(conv_key, x, padding=padding), scale)
+
+
+SAMPLE_MODS = ('conv', 'pixelshuffledirect', 'pixelshuffle', 'nearest+conv', 'dysample')
+
+
+def uni_upsample(p: PTree, x, mode: str, scale: int, out_dim: int, mid_dim: int, group: int = 4):
+    """UniUpsample (reference: resselt/archs/mosrv2/arch.py:91-171).
+
+    ``p`` scopes the UniUpsample Sequential; layer indices follow the torch
+    module list layout exactly."""
+    import math
+
+    in_dim = x.shape[-1]
+    if scale == 1 or mode == 'conv':
+        return p.conv('0', x, padding=1)
+    if mode == 'pixelshuffledirect':
+        return F.pixel_shuffle(p.conv('0', x, padding=1), scale)
+    if mode == 'pixelshuffle':
+        x = F.leaky_relu(p.conv('0', x, padding=1), 0.01)
+        idx = 2
+        if (scale & (scale - 1)) == 0:
+            for _ in range(int(math.log2(scale))):
+                x = F.pixel_shuffle(p.conv(str(idx), x, padding=1), 2)
+                idx += 2
+        elif scale == 3:
+            x = F.pixel_shuffle(p.conv(str(idx), x, padding=1), 3)
+            idx += 2
+        else:
+            raise ValueError(f'scale {scale} unsupported for pixelshuffle')
+        return p.conv(str(idx), x, padding=1)
+    if mode == 'nearest+conv':
+        if (scale & (scale - 1)) == 0:
+            idx = 0
+            for _ in range(int(math.log2(scale))):
+                x = F.leaky_relu(F.interpolate_nearest(p.conv(str(idx), x, padding=1), scale_factor=2), 0.2)
+                idx += 3
+            x = F.leaky_relu(p.conv(str(idx), x, padding=1), 0.2)
+            return p.conv(str(idx + 2), x, padding=1)
+        if scale == 3:
+            x = F.leaky_relu(F.interpolate_nearest(p.conv('0', x, padding=1), scale_factor=3), 0.2)
+            x = F.leaky_relu(p.conv('3', x, padding=1), 0.2)
+            return p.conv('5', x, padding=1)
+        raise ValueError(f'scale {scale} unsupported for nearest+conv')
+    if mode == 'dysample':
+        if mid_dim != in_dim:
+            x = F.leaky_relu(p.conv('0', x, padding=1), 0.01)
+            return dysample(p.sub('2'), x, scale, groups=group)
+        return dysample(p.sub('0'), x, scale, groups=group)
+    raise ValueError(f'Unknown UniUpsample mode {mode}')
