@@ -39,6 +39,7 @@ _ARCH_MODULES += [
     'plksr',
     'mosrv2',
     'moesr',
+    'rtmosr',
     'mosr',
     'compact',
     'spanplus',  # weak single-key fingerprint in the reference; keep late as more archs land

@@ -471,3 +471,7 @@ def rms_norm_ref(x, scale, offset, eps: float = 1e-6):
     rms = jnp.sqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True))
     x_normed = x / (rms + eps)
     return scale.reshape(-1).astype(x.dtype) * x_normed + offset.reshape(-1).astype(x.dtype)
+
+
+def hardsigmoid(x):
+    return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)

@@ -49,3 +49,71 @@ def conv3xc_collapse(sd, prefix: str) -> tuple[np.ndarray, np.ndarray]:
     w_full = w_full + pad_kernel_to(sk_w, 3)
     b_full = b_full + sk_b
     return w_full.astype(np.float32), b_full.astype(np.float32)
+
+
+def seqconv3x3_collapse(sd, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse SeqConv3x3 (conv1x1 -> pad-with-bias -> conv3x3) into one 3x3
+    conv (reference: resselt/archs/rtmosr/arch.py:123-167 rep_params)."""
+    k0 = np.asarray(sd[f'{prefix}.k0'], np.float64)
+    b0 = np.asarray(sd[f'{prefix}.b0'], np.float64)
+    k1 = np.asarray(sd[f'{prefix}.k1'], np.float64)
+    b1 = np.asarray(sd[f'{prefix}.b1'], np.float64)
+    w, b = compose_1x1_kxk(k0, b0, k1, b1)
+    return w.astype(np.float32), b.astype(np.float32)
+
+
+def repconv_collapse(sd, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse RepConv = a0*SeqConv3x3 + a1*conv3x3 + a2*Conv3XC
+    (reference: resselt/archs/rtmosr/arch.py:167-207 fuse)."""
+    alpha = np.asarray(sd[f'{prefix}.alpha'], np.float64)
+    w1, b1 = seqconv3x3_collapse(sd, f'{prefix}.conv1')
+    w2 = np.asarray(sd[f'{prefix}.conv2.weight'], np.float64)
+    b2 = np.asarray(sd[f'{prefix}.conv2.bias'], np.float64)
+    w3, b3 = conv3xc_collapse(sd, f'{prefix}.conv3')
+    w = alpha[0] * w1 + alpha[1] * w2 + alpha[2] * w3
+    b = alpha[0] * b1 + alpha[1] * b2 + alpha[2] * b3
+    return w.astype(np.float32), b.astype(np.float32)
+
+
+def omnishift_collapse(sd, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse OmniShift (identity + dw1x1 + dw3x3 + dw5x5, per-channel
+    alphas) into one depthwise 5x5 conv
+    (reference: resselt/archs/rtmosr/arch.py:253-282 reparam_5x5)."""
+    a1 = np.asarray(sd[f'{prefix}.alpha1'], np.float64).reshape(-1, 1, 1, 1)
+    a2 = np.asarray(sd[f'{prefix}.alpha2'], np.float64).reshape(-1, 1, 1, 1)
+    a3 = np.asarray(sd[f'{prefix}.alpha3'], np.float64).reshape(-1, 1, 1, 1)
+    a4 = np.asarray(sd[f'{prefix}.alpha4'], np.float64).reshape(-1, 1, 1, 1)
+    w1 = np.asarray(sd[f'{prefix}.conv1x1.weight'], np.float64)
+    w3 = np.asarray(sd[f'{prefix}.conv3x3.weight'], np.float64)
+    w5 = np.asarray(sd[f'{prefix}.conv5x5.weight'], np.float64)
+    ident = pad_kernel_to(np.ones_like(w1), 5)
+    w = a1 * ident + a2 * pad_kernel_to(w1, 5) + a3 * pad_kernel_to(w3, 5) + a4 * w5
+    b = (
+        a2.reshape(-1) * np.asarray(sd[f'{prefix}.conv1x1.bias'], np.float64)
+        + a3.reshape(-1) * np.asarray(sd[f'{prefix}.conv3x3.bias'], np.float64)
+        + a4.reshape(-1) * np.asarray(sd[f'{prefix}.conv5x5.bias'], np.float64)
+    )
+    return w.astype(np.float32), b.astype(np.float32)
+
+
+def collapse_all(sd, markers: dict[str, object]) -> dict:
+    """Run every registered collapse over a state dict.
+
+    ``markers`` maps a key suffix identifying a bundle to a
+    ``(collapse_fn, out_suffix)`` pair; bundle keys are replaced by the
+    collapsed conv weights under ``{prefix}.{out_suffix}``."""
+    out = {}
+    consumed_prefixes: list[str] = []
+    for suffix, (fn, out_name) in markers.items():
+        for k in list(sd.keys()):
+            if k.endswith(suffix):
+                prefix = k[: -len(suffix) - 1]
+                w, b = fn(sd, prefix)
+                out[f'{prefix}.{out_name}.weight'] = w
+                out[f'{prefix}.{out_name}.bias'] = b
+                consumed_prefixes.append(prefix + '.')
+    for k, v in sd.items():
+        if any(k.startswith(p) for p in consumed_prefixes):
+            continue
+        out[k] = v
+    return out

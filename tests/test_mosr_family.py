@@ -53,3 +53,21 @@ def test_moesr(upsampler, scale):
     ).eval()
     x = np.random.default_rng(0).random((1, 10, 9, 3), dtype=np.float32)
     _check(ref, x, 'MoESR', scale if upsampler != 'conv' else 1)
+
+
+@pytest.mark.parametrize('scale,unshuffle,dccm,se', [
+    (2, False, True, True),
+    (2, True, True, False),
+    (4, False, False, True),
+    (1, False, True, True),
+])
+def test_rtmosr(scale, unshuffle, dccm, se):
+    from resselt.archs.rtmosr.arch import RTMoSR
+
+    ref = init_random(
+        RTMoSR(scale=scale, dim=16, ffn_expansion=2, n_blocks=2,
+               unshuffle_mod=unshuffle, dccm=dccm, se=se), 13
+    ).eval()
+    x = np.random.default_rng(0).random((1, 11, 13, 3), dtype=np.float32)
+    model = _check(ref, x, 'RTMoSR', scale)
+    assert model.config.dccm is dccm and model.config.se is se
