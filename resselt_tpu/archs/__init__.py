@@ -40,6 +40,8 @@ _ARCH_MODULES += [
     'mosrv2',
     'moesr',
     'rtmosr',
+    'rcan',
+    'eimn',
     'mosr',
     'compact',
     'spanplus',  # weak single-key fingerprint in the reference; keep late as more archs land
