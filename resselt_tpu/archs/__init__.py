@@ -40,6 +40,7 @@ _ARCH_MODULES += [
     'mosrv2',
     'moesr',
     'rtmosr',
+    'cugan',
     'rcan',
     'eimn',
     'mosr',
