@@ -34,6 +34,7 @@ def register_arch_module(mod_name: str) -> None:
 
 # -- ordered family list (grows as families are implemented) ---------------
 _ARCH_MODULES += [
+    'swinir',
     'span',
     'esrgan',
     'plksr',

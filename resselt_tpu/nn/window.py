@@ -1,0 +1,105 @@
+"""Shifted-window attention primitives (SwinIR lineage).
+
+All geometry (relative position indices, shift masks) is computed in numpy
+at trace time — input shapes are static under jit, so masks become XLA
+constants; no data-dependent control flow reaches the device.
+
+Parity reference: resselt/archs/swinir/arch.py:43-72 (partition/reverse),
+:75-173 (WindowAttention), :268-293 (calculate_mask).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import functional as F
+
+
+def window_partition(x, ws: int):
+    """(B, H, W, C) -> (B*nW, ws*ws, C), row-major window order."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows, ws: int, h: int, w: int):
+    """(B*nW, ws*ws, C) -> (B, H, W, C)."""
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Swin relative position index table, (wh*ww, wh*ww) int."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing='ij'))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+def swin_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray | None:
+    """SW-MSA additive mask, (nW, ws*ws, ws*ws) f32 with 0 / -100 entries."""
+    if shift == 0:
+        return None
+    img_mask = np.zeros((h, w), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[hs, wsl] = cnt
+            cnt += 1
+    m = img_mask.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = m[:, None, :] - m[:, :, None]
+    # torch builds the mask as (m.unsqueeze(1) - m.unsqueeze(2)) -> diff[w, i, j] = m[w, j] - m[w, i]
+    mask = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+    return mask
+
+
+def multi_head_attention(q, k, v, num_heads: int, scale: float, bias=None, mask=None):
+    """Batched MHA over token sequences.
+
+    q/k/v: (B, N, C) already projected; bias: (num_heads, N, N) additive;
+    mask: (nW, N, N) additive where B is a multiple of nW."""
+    b, n, c = q.shape
+    hd = c // num_heads
+    q = q.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
+    attn = jnp.einsum('bhnd,bhmd->bhnm', q * scale, k, preferred_element_type=jnp.float32).astype(q.dtype)
+    if bias is not None:
+        attn = attn + bias[None]
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(b // nw, nw, num_heads, n, n) + mask[None, :, None]
+        attn = attn.reshape(b, num_heads, n, n)
+    attn = F.softmax(attn, axis=-1)
+    out = jnp.einsum('bhnm,bhmd->bhnd', attn, v, preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+
+def swin_window_attention(p, x_windows, num_heads: int, wh: int, ww: int, mask=None, qk_scale=None):
+    """WindowAttention with relative position bias (swinir/arch.py:133-173).
+
+    ``p``: PTree scoped to the attention module (qkv/proj/bias table/index);
+    ``x_windows``: (B*nW, N, C)."""
+    n = x_windows.shape[1]
+    c = x_windows.shape[2]
+    hd = c // num_heads
+    scale = qk_scale if qk_scale is not None else hd**-0.5
+    qkv = F.linear(x_windows, p['qkv.weight'], p.get('qkv.bias'))
+    q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+
+    table = p['relative_position_bias_table']
+    rpi = p['relative_position_index'].reshape(-1)
+    bias = table[rpi].reshape(wh * ww, wh * ww, num_heads)
+    bias = bias.transpose(2, 0, 1).astype(x_windows.dtype)
+
+    out = multi_head_attention(q, k, v, num_heads, scale, bias=bias, mask=mask)
+    return F.linear(out, p['proj.weight'], p.get('proj.bias'))
