@@ -1,0 +1,147 @@
+"""Overlap-tiled inference driver.
+
+The reference has no tiling driver — callers (chaiNNer etc.) tile
+externally (SURVEY.md §5 long-context row).  Here tiling is a first-class
+TPU capability: fixed-size tile windows are batched into one static shape
+(one XLA compilation), optionally sharded across a device mesh, and
+stitched from halo-cropped cores.
+
+Shifted inner tiling: every window lies fully inside the image, and edge
+windows are flush with the image borders, so border pixels see the model's
+own border handling exactly as a whole-image run would.  Output is
+therefore identical to the un-tiled run wherever the model's receptive
+field fits inside the halo.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class TileGrid:
+    height: int
+    width: int
+    window: int  # full tile window (core + 2*halo)
+    halo: int
+    ys: tuple[int, ...]  # window origins (top)
+    xs: tuple[int, ...]  # window origins (left)
+
+
+def _origins(size: int, window: int, stride: int) -> tuple[int, ...]:
+    if size <= window:
+        return (0,)
+    xs = list(range(0, size - window, stride))
+    xs.append(size - window)
+    return tuple(xs)
+
+
+def plan_grid(height: int, width: int, tile: int, halo: int) -> TileGrid:
+    window = tile + 2 * halo
+    stride = tile
+    return TileGrid(
+        height=height,
+        width=width,
+        window=window,
+        halo=halo,
+        ys=_origins(height, window, stride),
+        xs=_origins(width, window, stride),
+    )
+
+
+def extract_tiles(image, grid: TileGrid):
+    """(H, W, C) -> (len(ys)*len(xs), window, window, C)."""
+    win = grid.window
+    c = image.shape[-1]
+    tiles = [
+        jax.lax.dynamic_slice(image, (y, x, 0), (win, win, c))
+        for y in grid.ys
+        for x in grid.xs
+    ]
+    return jnp.stack(tiles)
+
+
+def stitch_tiles(out_tiles, grid: TileGrid, scale: int):
+    """Assemble output image from upscaled tile windows.
+
+    Each window contributes its halo-cropped core, except at image borders
+    where the window is flush with the border and contributes up to it."""
+    win, o = grid.window, grid.halo
+    h, w = grid.height * scale, grid.width * scale
+    c = out_tiles.shape[-1]
+    canvas = jnp.zeros((h, w, c), out_tiles.dtype)
+    i = 0
+    for y in grid.ys:
+        for x in grid.xs:
+            t = out_tiles[i]
+            i += 1
+            y0 = 0 if y == 0 else (y + o) * scale
+            y1 = h if y + win >= grid.height else (y + win - o) * scale
+            x0 = 0 if x == 0 else (x + o) * scale
+            x1 = w if x + win >= grid.width else (x + win - o) * scale
+            ty0 = y0 - y * scale
+            tx0 = x0 - x * scale
+            piece = jax.lax.dynamic_slice(t, (ty0, tx0, 0), (y1 - y0, x1 - x0, c))
+            canvas = jax.lax.dynamic_update_slice(canvas, piece, (y0, x0, 0))
+    return canvas
+
+
+def upscale_tiled(
+    model,
+    image,
+    tile: int = 256,
+    halo: int = 16,
+    batch_size: int | None = None,
+    mesh: 'jax.sharding.Mesh | None' = None,
+):
+    """Run an SRModel over a large image via overlap tiling.
+
+    ``image``: (H, W, C) in [0, 1].  When ``mesh`` is given, each tile batch
+    is sharded over the mesh's first axis (data parallel over tiles)."""
+    image = jnp.asarray(image)
+    if image.ndim != 3:
+        raise ValueError('upscale_tiled expects an HWC image')
+    scale = model.metadata.upscale
+    if not isinstance(scale, int):
+        raise ValueError('tiled driver requires an integer upscale factor')
+
+    h, w, _ = image.shape
+    window = tile + 2 * halo
+    if h <= window and w <= window:
+        return model(image)
+    if h < window or w < window:
+        # one dimension smaller than a window: single strip, no tiling there
+        tile = max(1, min(h, w) - 2 * halo)
+        window = tile + 2 * halo
+
+    grid = plan_grid(h, w, tile, halo)
+    tiles = extract_tiles(image, grid)
+    n = tiles.shape[0]
+
+    if batch_size is None:
+        batch_size = n
+    if mesh is not None:
+        dev = mesh.devices.size
+        batch_size = max(dev, batch_size - batch_size % dev)
+    batch_size = min(batch_size, n) if mesh is None else batch_size
+
+    outs = []
+    for i in range(0, n, batch_size):
+        chunk = tiles[i : i + batch_size]
+        pad_n = batch_size - chunk.shape[0]
+        if pad_n > 0:
+            chunk = jnp.concatenate([chunk, jnp.repeat(chunk[-1:], pad_n, axis=0)])
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
+            chunk = jax.device_put(chunk, sharding)
+        out = model(chunk)
+        if pad_n > 0:
+            out = out[: chunk.shape[0] - pad_n]
+        outs.append(out)
+    out_tiles = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    return stitch_tiles(out_tiles, grid, scale)
