@@ -35,6 +35,7 @@ def register_arch_module(mod_name: str) -> None:
 # -- ordered family list (grows as families are implemented) ---------------
 _ARCH_MODULES += [
     'swinir',
+    'hat',
     'span',
     'esrgan',
     'plksr',

@@ -1,0 +1,275 @@
+"""HAT — Hybrid Attention Transformer.
+
+Parity with resselt/archs/hat/{__init__.py,arch.py}: HAB (window attention
++ CAB channel-attention conv branch), OCAB (overlapping cross-attention via
+patch extraction), RHAG groups, pixelshuffle tail.  rpi buffers come from
+the checkpoint (relative_position_index_SA/OCA, arch.py:877-880).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core import Architecture, KeyCondition, ModelMetadata, SRModel
+from ..core.state_dict import get_pixelshuffle_params, get_seq_len
+from ..nn import functional as F
+from ..nn.params import PTree
+from ..nn.window import multi_head_attention, swin_attn_mask, window_partition, window_reverse
+
+_RGB_MEAN = (0.4488, 0.4371, 0.4040)
+
+
+@dataclass(frozen=True)
+class HATConfig:
+    in_chans: int
+    embed_dim: int
+    depths: tuple[int, ...]
+    num_heads: tuple[int, ...]
+    window_size: int
+    overlap_win_size: int
+    compress_ratio: float
+    squeeze_factor: float
+    conv_scale: float
+    mlp_ratio: float
+    qkv_bias: bool
+    upscale: int
+    img_range: float
+    resi_connection: str
+    num_feat: int
+    img_size: int
+
+
+def _cab(p: PTree, x, dim: int, cfg: HATConfig):
+    """Channel attention conv block (hat/arch.py:20-59)."""
+    y = F.gelu(p.conv('cab.0', x, padding=1))
+    y = p.conv('cab.2', y, padding=1)
+    a = jnp.mean(y, axis=(1, 2), keepdims=True)
+    a = F.relu(p.conv('cab.3.attention.1', a))
+    a = F.sigmoid(p.conv('cab.3.attention.3', a))
+    return y * a
+
+
+def _window_attn(p: PTree, windows, rpi, num_heads: int, n: int, mask):
+    c = windows.shape[-1]
+    scale = (c // num_heads) ** -0.5
+    qkv = F.linear(windows, p['qkv.weight'], p.get('qkv.bias'))
+    q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+    bias = p['relative_position_bias_table'][rpi.reshape(-1)].reshape(n, n, num_heads)
+    bias = bias.transpose(2, 0, 1).astype(windows.dtype)
+    out = multi_head_attention(q, k, v, num_heads, scale, bias=bias, mask=mask)
+    return F.linear(out, p['proj.weight'], p.get('proj.bias'))
+
+
+def _hab(p: PTree, x, cfg: HATConfig, num_heads: int, shift: int, rpi_sa):
+    """Hybrid Attention Block (hat/arch.py:218-348)."""
+    h, w = x.shape[1], x.shape[2]
+    ws = cfg.window_size
+    shortcut = x
+    x = F.layer_norm(x, p['norm1.weight'], p['norm1.bias'])
+
+    conv_x = _cab(p.sub('conv_block'), x, cfg.embed_dim, cfg)
+
+    if shift > 0:
+        shifted = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+        mask = swin_attn_mask(h, w, ws, shift)
+        mask = jnp.asarray(mask, x.dtype)
+    else:
+        shifted = x
+        mask = None
+    windows = window_partition(shifted, ws)
+    attn = _window_attn(p.sub('attn'), windows, rpi_sa, num_heads, ws * ws, mask)
+    shifted = window_reverse(attn, ws, h, w)
+    attn_x = jnp.roll(shifted, shift=(shift, shift), axis=(1, 2)) if shift > 0 else shifted
+
+    x = shortcut + attn_x + conv_x * cfg.conv_scale
+    y = F.layer_norm(x, p['norm2.weight'], p['norm2.bias'])
+    y = p.linear('mlp.fc2', F.gelu(p.linear('mlp.fc1', y)))
+    return x + y
+
+
+def _ocab(p: PTree, x, cfg: HATConfig, num_heads: int, rpi_oca):
+    """Overlapping cross-attention block (hat/arch.py:351-481)."""
+    h, w = x.shape[1], x.shape[2]
+    ws = cfg.window_size
+    owin = cfg.overlap_win_size
+    c = cfg.embed_dim
+    pad = (owin - ws) // 2
+
+    shortcut = x
+    x = F.layer_norm(x, p['norm1.weight'], p['norm1.bias'])
+    qkv = F.linear(x, p['qkv.weight'], p.get('qkv.bias'))
+    q = qkv[..., :c]
+    kv = qkv[..., c:]
+
+    q_windows = window_partition(q, ws)  # (b*nw, ws*ws, c)
+
+    # torch unfold on (b, 2c, h, w); patches feature order = (channel, i, j)
+    patches = jax.lax.conv_general_dilated_patches(
+        kv, filter_shape=(owin, owin), window_strides=(ws, ws),
+        padding=[(pad, pad), (pad, pad)], dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+    )  # (b, nh, nw, 2c*owin*owin)
+    b = patches.shape[0]
+    nw_tot = patches.shape[1] * patches.shape[2]
+    patches = patches.reshape(b * nw_tot, 2 * c, owin * owin).transpose(0, 2, 1)
+    k_windows = patches[..., :c]
+    v_windows = patches[..., c:]
+
+    hd = c // num_heads
+    scale = hd**-0.5
+    bq = q_windows.shape[0]
+    nq, n = ws * ws, owin * owin
+    qh = q_windows.reshape(bq, nq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k_windows.reshape(bq, n, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v_windows.reshape(bq, n, num_heads, hd).transpose(0, 2, 1, 3)
+    attn = jnp.einsum('bhnd,bhmd->bhnm', qh * scale, kh, preferred_element_type=jnp.float32).astype(x.dtype)
+    bias = p['relative_position_bias_table'][rpi_oca.reshape(-1)].reshape(nq, n, num_heads)
+    attn = attn + bias.transpose(2, 0, 1).astype(x.dtype)[None]
+    attn = F.softmax(attn)
+    out = jnp.einsum('bhnm,bhmd->bhnd', attn, vh, preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(bq, nq, c)
+    out = window_reverse(out, ws, h, w)
+
+    x = F.linear(out, p['proj.weight'], p.get('proj.bias')) + shortcut
+    y = F.layer_norm(x, p['norm2.weight'], p['norm2.bias'])
+    y = p.linear('mlp.fc2', F.gelu(p.linear('mlp.fc1', y)))
+    return x + y
+
+
+def apply(cfg: HATConfig, params, x):
+    p = PTree(params)
+    h0, w0 = x.shape[1], x.shape[2]
+    if cfg.in_chans == 3:
+        mean = jnp.asarray(_RGB_MEAN, x.dtype)
+    else:
+        mean = jnp.zeros((1,), x.dtype)
+    x = (x - mean) * cfg.img_range
+    x = F.pad_to_multiple(x, cfg.window_size, mode='reflect')
+
+    rpi_sa = p['relative_position_index_SA']
+    rpi_oca = p['relative_position_index_OCA']
+
+    x = p.conv('conv_first', x, padding=1)
+    feat = x
+    if 'patch_embed.norm.weight' in params:
+        feat = F.layer_norm(feat, p['patch_embed.norm.weight'], p['patch_embed.norm.bias'])
+    for li, depth in enumerate(cfg.depths):
+        lp = p.sub(f'layers.{li}')
+        y = feat
+        for bi in range(depth):
+            shift = 0 if bi % 2 == 0 else cfg.window_size // 2
+            y = _hab(lp.sub(f'residual_group.blocks.{bi}'), y, cfg, cfg.num_heads[li], shift, rpi_sa)
+        y = _ocab(lp.sub('residual_group.overlap_attn'), y, cfg, cfg.num_heads[li], rpi_oca)
+        if cfg.resi_connection == '1conv':
+            y = lp.conv('conv', y, padding=1)
+        feat = feat + y
+    feat = F.layer_norm(feat, p['norm.weight'], p['norm.bias'])
+    if cfg.resi_connection == '1conv':
+        feat = p.conv('conv_after_body', feat, padding=1)
+    x = feat + x
+
+    x = F.leaky_relu(p.conv('conv_before_upsample.0', x, padding=1), 0.01)
+    if cfg.upscale & (cfg.upscale - 1) == 0:
+        for i in range(int(math.log2(cfg.upscale))):
+            x = F.pixel_shuffle(p.conv(f'upsample.{2 * i}', x, padding=1), 2)
+    elif cfg.upscale == 3:
+        x = F.pixel_shuffle(p.conv('upsample.0', x, padding=1), 3)
+    x = p.conv('conv_last', x, padding=1)
+
+    x = x / cfg.img_range + mean
+    return x[:, : h0 * cfg.upscale, : w0 * cfg.upscale]
+
+
+def _get_overlap_ratio(window_size: int, with_overlap: int) -> float:
+    """reference hat/__init__.py:8-23."""
+    for ratio in [0, 1, 0.5, 0.25, 0.75, 0.1, 0.2, 0.3, 0.4, 0.6, 0.7, 0.8, 0.9]:
+        if int(window_size + window_size * ratio) == with_overlap:
+            return ratio
+    return (with_overlap - window_size) / window_size + 0.01
+
+
+def _inv_int_div(a: int, c: int) -> float:
+    """reference hat/__init__.py:26-47."""
+    b_float = a / c
+    if b_float.is_integer():
+        return int(b_float)
+    if c == a // math.ceil(b_float):
+        return math.ceil(b_float)
+    if c == a // math.floor(b_float):
+        return math.floor(b_float)
+    if c == a // b_float:
+        return b_float
+    if c == a // (b_float - 0.01):
+        return b_float - 0.01
+    if c == a // (b_float + 0.01):
+        return b_float + 0.01
+    raise ValueError(f'Could not find b with a // b == c. a={a}, c={c}')
+
+
+def _load(sd) -> SRModel:
+    """Config inference (resselt/archs/hat/__init__.py:76-194)."""
+    in_chans = sd['conv_first.weight'].shape[1]
+    embed_dim = sd['conv_first.weight'].shape[0]
+    num_feat = sd['conv_last.weight'].shape[1]
+    upscale, _ = get_pixelshuffle_params(sd, 'upsample', num_feat)
+
+    window_size = int(math.sqrt(sd['relative_position_index_SA'].shape[0]))
+    overlap_ratio = _get_overlap_ratio(
+        window_size, with_overlap=int(math.sqrt(sd['relative_position_index_OCA'].shape[1]))
+    )
+    overlap_win_size = int(window_size * overlap_ratio) + window_size
+
+    num_layers = get_seq_len(sd, 'layers')
+    depths = tuple(get_seq_len(sd, f'layers.{i}.residual_group.blocks') for i in range(num_layers))
+    num_heads = tuple(
+        sd[f'layers.{i}.residual_group.overlap_attn.relative_position_bias_table'].shape[1]
+        for i in range(num_layers)
+    )
+
+    resi_connection = '1conv' if 'conv_after_body.weight' in sd else 'identity'
+    compress_ratio = _inv_int_div(embed_dim, sd['layers.0.residual_group.blocks.0.conv_block.cab.0.weight'].shape[0])
+    squeeze_factor = _inv_int_div(
+        embed_dim, sd['layers.0.residual_group.blocks.0.conv_block.cab.3.attention.1.weight'].shape[0]
+    )
+    qkv_bias = 'layers.0.residual_group.blocks.0.attn.qkv.bias' in sd
+    mlp_hidden_dim = int(sd['layers.0.residual_group.blocks.0.mlp.fc1.weight'].shape[0])
+    mlp_ratio = mlp_hidden_dim / embed_dim
+    img_size = 64
+    if 'absolute_pos_embed' in sd:
+        img_size = int(math.sqrt(sd['absolute_pos_embed'].shape[1]))
+
+    cfg = HATConfig(
+        in_chans=in_chans, embed_dim=embed_dim, depths=depths, num_heads=num_heads,
+        window_size=window_size, overlap_win_size=overlap_win_size,
+        compress_ratio=compress_ratio, squeeze_factor=squeeze_factor, conv_scale=0.01,
+        mlp_ratio=mlp_ratio, qkv_bias=qkv_bias, upscale=upscale, img_range=1.0,
+        resi_connection=resi_connection, num_feat=num_feat, img_size=img_size,
+    )
+    meta = ModelMetadata(in_channels=in_chans, out_channels=in_chans, upscale=upscale, name='HAT')
+    return SRModel('HAT', cfg, dict(sd), meta, apply)
+
+
+ARCH = Architecture(
+    id='HAT',
+    detect_condition=KeyCondition.has_all(
+        'relative_position_index_SA',
+        'conv_first.weight',
+        'layers.0.residual_group.blocks.0.norm1.weight',
+        'layers.0.residual_group.blocks.0.conv_block.cab.0.weight',
+        'layers.0.residual_group.blocks.0.conv_block.cab.2.weight',
+        'layers.0.residual_group.blocks.0.conv_block.cab.3.attention.1.weight',
+        'layers.0.residual_group.blocks.0.conv_block.cab.3.attention.3.weight',
+        'layers.0.residual_group.blocks.0.mlp.fc1.bias',
+        'layers.0.residual_group.blocks.0.mlp.fc2.weight',
+        'layers.0.residual_group.overlap_attn.relative_position_bias_table',
+        'layers.0.residual_group.overlap_attn.qkv.weight',
+        'layers.0.residual_group.overlap_attn.proj.weight',
+        'layers.0.residual_group.overlap_attn.mlp.fc1.weight',
+        'layers.0.residual_group.overlap_attn.mlp.fc2.weight',
+        'conv_last.weight',
+    ),
+    load_fn=_load,
+)
