@@ -36,6 +36,7 @@ def register_arch_module(mod_name: str) -> None:
 _ARCH_MODULES += [
     'swinir',
     'hat',
+    'omni',
     'span',
     'esrgan',
     'plksr',
