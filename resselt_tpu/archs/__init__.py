@@ -37,6 +37,7 @@ _ARCH_MODULES += [
     'swinir',
     'hat',
     'omni',
+    'drct',
     'span',
     'esrgan',
     'plksr',
