@@ -38,6 +38,7 @@ _ARCH_MODULES += [
     'hat',
     'omni',
     'drct',
+    'fdat',
     'span',
     'esrgan',
     'plksr',
