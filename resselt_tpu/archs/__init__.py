@@ -39,6 +39,7 @@ _ARCH_MODULES += [
     'omni',
     'drct',
     'fdat',
+    'dat',
     'span',
     'esrgan',
     'plksr',

@@ -103,3 +103,17 @@ def swin_window_attention(p, x_windows, num_heads: int, wh: int, ww: int, mask=N
 
     out = multi_head_attention(q, k, v, num_heads, scale, bias=bias, mask=mask)
     return F.linear(out, p['proj.weight'], p.get('proj.bias'))
+
+
+def rect_attn_mask(h: int, w: int, sp_h: int, sp_w: int, shift_h: int, shift_w: int) -> np.ndarray:
+    """Additive shift mask for rectangular windows (DAT-style,
+    reference: resselt/archs/dat/arch.py:363-428)."""
+    img_mask = np.zeros((h, w), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, -sp_h), slice(-sp_h, -shift_h), slice(-shift_h, None)):
+        for wsl in (slice(0, -sp_w), slice(-sp_w, -shift_w), slice(-shift_w, None)):
+            img_mask[hs, wsl] = cnt
+            cnt += 1
+    m = img_mask.reshape(h // sp_h, sp_h, w // sp_w, sp_w).transpose(0, 2, 1, 3).reshape(-1, sp_h * sp_w)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
