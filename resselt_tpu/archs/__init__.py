@@ -40,6 +40,7 @@ _ARCH_MODULES += [
     'drct',
     'fdat',
     'dat',
+    'rgt',
     'span',
     'esrgan',
     'plksr',
