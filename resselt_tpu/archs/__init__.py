@@ -41,6 +41,7 @@ _ARCH_MODULES += [
     'fdat',
     'dat',
     'rgt',
+    'atd',
     'span',
     'esrgan',
     'plksr',

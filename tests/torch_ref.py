@@ -26,6 +26,7 @@ def state_dict_to_numpy(sd) -> dict[str, np.ndarray]:
 
 
 _orig_torch_tensor = torch.tensor
+_orig_torch_sort = torch.sort
 
 
 def _tensor_no_pin(*args, **kwargs):
@@ -35,16 +36,28 @@ def _tensor_no_pin(*args, **kwargs):
     return _orig_torch_tensor(*args, **kwargs)
 
 
+def _sort_stable(*args, **kwargs):
+    # ATD's AC_MSA sorts category ids with stable=False
+    # (resselt/archs/atd/arch.py:303) — the tie order among equal category
+    # ids is implementation-defined and not reproducible across backends
+    # (the reference itself is not bit-stable). Pin the oracle to stable
+    # order, which is what the JAX implementation uses.
+    kwargs['stable'] = True
+    return _orig_torch_sort(*args, **kwargs)
+
+
 def run_torch(model, x_nhwc: np.ndarray) -> np.ndarray:
     """Run a torch NCHW model on an NHWC numpy batch, return NHWC numpy."""
     model = model.eval()
     t = torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
     torch.tensor = _tensor_no_pin
+    torch.sort = _sort_stable
     try:
         with torch.inference_mode():
             y = model(t)
     finally:
         torch.tensor = _orig_torch_tensor
+        torch.sort = _orig_torch_sort
     return y.detach().cpu().numpy().transpose(0, 2, 3, 1)
 
 
