@@ -42,6 +42,7 @@ _ARCH_MODULES += [
     'dat',
     'rgt',
     'atd',
+    'spanpp',
     'span',
     'esrgan',
     'plksr',

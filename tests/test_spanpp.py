@@ -1,0 +1,29 @@
+"""Parity tests for SpanPP vs the torch reference oracle."""
+
+import numpy as np
+import pytest
+
+import resselt_tpu
+from tests.torch_ref import init_random, max_err, run_torch, state_dict_to_numpy
+
+TOL = 5e-4
+
+
+def test_spanpp():
+    from resselt.archs.spanpp.arch import SpanPP
+
+    ref = init_random(
+        SpanPP(num_in_ch=3, feature_channels=16, scale_list=(1, 2, 3, 4),
+               eval_base_scale=2, ig_kernel_size=3, implicit_dim=32, latent_layers=2), 121
+    )
+    ref = ref.eval()  # triggers eval_convs synthesis in IGConv.train()
+    sd = state_dict_to_numpy(ref.state_dict())
+    model = resselt_tpu.load_from_state_dict(sd)
+    assert model.arch_id == 'SpanPP'
+    assert list(model.metadata.upscale) == [1, 2, 3, 4]
+    x = np.random.default_rng(3).random((1, 14, 18, 3), dtype=np.float32)
+    want = run_torch(ref, x)  # default scale = base 2
+    got = np.asarray(model(x))
+    assert got.shape == want.shape
+    err = max_err(got, want)
+    assert err < TOL, f'spanpp: max err {err}'
