@@ -49,6 +49,7 @@ _ARCH_MODULES += [
     'mosrv2',
     'moesr',
     'rtmosr',
+    'smosr',
     'cugan',
     'rcan',
     'eimn',

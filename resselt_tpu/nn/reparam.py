@@ -117,3 +117,45 @@ def collapse_all(sd, markers: dict[str, object]) -> dict:
             continue
         out[k] = v
     return out
+
+
+def pad_kernel_to_rect(w: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    h, ww = w.shape[-2:]
+    ph, pw = (kh - h) // 2, (kw - ww) // 2
+    return np.pad(w, ((0, 0), (0, 0), (ph, kh - h - ph), (pw, kw - ww - pw)))
+
+
+def doconv_collapse(sd, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse a DOConv2d (depthwise-over-parameterized conv) into a plain
+    conv (reference: resselt/archs/smosr/arch.py:211-293 update_eval)."""
+    W = np.asarray(sd[f'{prefix}.W'], np.float64)  # (out, in/g, D_mul)
+    mul = float(np.asarray(sd[f'{prefix}.mul']).reshape(-1)[0])
+    bias = np.asarray(sd[f'{prefix}.bias'], np.float64)
+    if f'{prefix}.D' in sd:
+        D = np.asarray(sd[f'{prefix}.D'], np.float64) + np.asarray(sd[f'{prefix}.d_diag'], np.float64)
+        out_ch = W.shape[0]
+        in_ch = D.shape[0]
+        mn = D.shape[1]
+        Wr = W.reshape(out_ch, in_ch, -1)  # groups=1
+        dow = np.einsum('ims,ois->oim', D, Wr, optimize=True)  # (out, in, MN)
+        # spatial size: D_mul == M*N here; recover (M, N) from eval_conv shape
+        kh, kw = sd[f'{prefix}.eval_conv.weight'].shape[-2:]
+        w_full = dow.reshape(out_ch, in_ch, kh, kw)
+    else:
+        w_full = W.reshape(W.shape[0], W.shape[1], 1, 1)
+    return (w_full * mul).astype(np.float32), (bias * mul).astype(np.float32)
+
+
+def convnxc_collapse(sd, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse ConvNXC (DOConv 1x1 -> DOConv kxk -> DOConv 1x1 + DOConv 1x1
+    skip) into a single kxk conv (reference: resselt/archs/smosr/arch.py:295-377)."""
+    w1, b1 = doconv_collapse(sd, f'{prefix}.conv.0')
+    w2, b2 = doconv_collapse(sd, f'{prefix}.conv.1')
+    w3, b3 = doconv_collapse(sd, f'{prefix}.conv.2')
+    w_mid, b_mid = compose_1x1_kxk(w1.astype(np.float64), b1.astype(np.float64), w2.astype(np.float64), b2.astype(np.float64))
+    w_full, b_full = compose_kxk_1x1(w_mid, b_mid, w3.astype(np.float64), b3.astype(np.float64))
+    sk_w, sk_b = doconv_collapse(sd, f'{prefix}.sk')
+    kh, kw = w_full.shape[-2:]
+    w_full = w_full + pad_kernel_to_rect(sk_w.astype(np.float64), kh, kw)
+    b_full = b_full + sk_b
+    return w_full.astype(np.float32), b_full.astype(np.float32)
