@@ -50,6 +50,7 @@ _ARCH_MODULES += [
     'moesr',
     'rtmosr',
     'smosr',
+    'rha',
     'cugan',
     'rcan',
     'eimn',
