@@ -51,6 +51,7 @@ _ARCH_MODULES += [
     'rtmosr',
     'smosr',
     'rha',
+    'flexnet',
     'cugan',
     'rcan',
     'eimn',
