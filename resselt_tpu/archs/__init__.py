@@ -52,6 +52,7 @@ _ARCH_MODULES += [
     'smosr',
     'rha',
     'flexnet',
+    'gater',
     'cugan',
     'rcan',
     'eimn',
