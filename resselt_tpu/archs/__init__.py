@@ -52,6 +52,7 @@ _ARCH_MODULES += [
     'smosr',
     'rha',
     'flexnet',
+    'gaterv2',
     'gater',
     'cugan',
     'rcan',
