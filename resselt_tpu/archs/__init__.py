@@ -53,6 +53,7 @@ _ARCH_MODULES += [
     'rha',
     'flexnet',
     'gaterv2',
+    'lawfft',
     'gater',
     'cugan',
     'rcan',
