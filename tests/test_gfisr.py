@@ -1,0 +1,36 @@
+"""Parity tests for GFISR vs the torch reference oracle."""
+
+import numpy as np
+import pytest
+
+import resselt_tpu
+from tests.torch_ref import init_random, max_err, run_torch, state_dict_to_numpy
+
+TOL = 1e-3
+
+
+@pytest.mark.parametrize('fft_mode,unshuffle,scale,upsampler', [
+    (True, False, 4, 'pixelshuffledirect'),
+    (False, False, 2, 'pa_up'),
+    (True, True, 2, 'pixelshuffledirect'),
+    (True, True, 1, 'conv'),
+])
+def test_gfisr(fft_mode, unshuffle, scale, upsampler):
+    from resselt.archs.gfisr.arch import GFISR
+
+    ref = init_random(
+        GFISR(in_nc=3, dim=16, expansion_ratio=1.5, fft_mode=fft_mode, scale=scale,
+              out_nc=3, upsampler=upsampler, mid_dim=16,
+              pixel_unshuffle=unshuffle, n_blocks=6), 191
+    ).eval()
+    sd = state_dict_to_numpy(ref.state_dict())
+    model = resselt_tpu.load_from_state_dict(sd)
+    assert model.arch_id == 'GFISR'
+    assert model.metadata.upscale == scale
+    assert model.config.fft_mode is fft_mode
+    x = np.random.default_rng(3).random((1, 14, 18, 3), dtype=np.float32)
+    want = run_torch(ref, x)
+    got = np.asarray(model(x))
+    assert got.shape == want.shape
+    err = max_err(got, want)
+    assert err < TOL, f'gfisr: max err {err}'
