@@ -54,6 +54,7 @@ _ARCH_MODULES += [
     'flexnet',
     'gaterv2',
     'lawfft',
+    'gfisrv2',
     'gfisr',
     'gater',
     'cugan',
