@@ -55,6 +55,7 @@ _ARCH_MODULES += [
     'gaterv2',
     'lawfft',
     'gfisrv2',
+    'figsr',
     'gfisr',
     'gater',
     'cugan',
