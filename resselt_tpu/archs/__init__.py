@@ -52,6 +52,7 @@ _ARCH_MODULES += [
     'smosr',
     'rha',
     'flexnet',
+    'gaterv3',
     'gaterv2',
     'lawfft',
     'gfisrv2',

@@ -34,21 +34,29 @@ def pad_kernel_to(w: np.ndarray, k: int) -> np.ndarray:
     return np.pad(w, ((0, 0), (0, 0), (ph, k - kh - ph), (pw, k - kw - pw)))
 
 
-def conv3xc_collapse(sd, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+def conv3xc_collapse(sd, prefix: str) -> tuple[np.ndarray, np.ndarray | None]:
     """Collapse a Conv3XC bundle (1x1 -> 3x3 -> 1x1 plus 1x1 skip) into a
-    single 3x3 conv (reference: resselt/archs/span/arch.py:124-150)."""
-    w1, b1 = np.asarray(sd[f'{prefix}.conv.0.weight'], np.float64), np.asarray(sd[f'{prefix}.conv.0.bias'], np.float64)
-    w2, b2 = np.asarray(sd[f'{prefix}.conv.1.weight'], np.float64), np.asarray(sd[f'{prefix}.conv.1.bias'], np.float64)
-    w3, b3 = np.asarray(sd[f'{prefix}.conv.2.weight'], np.float64), np.asarray(sd[f'{prefix}.conv.2.bias'], np.float64)
+    single 3x3 conv (reference: resselt/archs/span/arch.py:124-150).
+
+    Bias-free bundles (gaterv3 SPAB, arch.py:436-447) return bias None."""
+    has_bias = f'{prefix}.conv.0.bias' in sd
+    w1 = np.asarray(sd[f'{prefix}.conv.0.weight'], np.float64)
+    w2 = np.asarray(sd[f'{prefix}.conv.1.weight'], np.float64)
+    w3 = np.asarray(sd[f'{prefix}.conv.2.weight'], np.float64)
+    zeros = lambda w: np.zeros(w.shape[0], np.float64)  # noqa: E731
+    b1 = np.asarray(sd[f'{prefix}.conv.0.bias'], np.float64) if has_bias else zeros(w1)
+    b2 = np.asarray(sd[f'{prefix}.conv.1.bias'], np.float64) if has_bias else zeros(w2)
+    b3 = np.asarray(sd[f'{prefix}.conv.2.bias'], np.float64) if has_bias else zeros(w3)
 
     w_mid, b_mid = compose_1x1_kxk(w1, b1, w2, b2)
     w_full, b_full = compose_kxk_1x1(w_mid, b_mid, w3, b3)
 
     sk_w = np.asarray(sd[f'{prefix}.sk.weight'], np.float64)
-    sk_b = np.asarray(sd[f'{prefix}.sk.bias'], np.float64)
     w_full = w_full + pad_kernel_to(sk_w, 3)
-    b_full = b_full + sk_b
-    return w_full.astype(np.float32), b_full.astype(np.float32)
+    if has_bias:
+        b_full = b_full + np.asarray(sd[f'{prefix}.sk.bias'], np.float64)
+        return w_full.astype(np.float32), b_full.astype(np.float32)
+    return w_full.astype(np.float32), None
 
 
 def seqconv3x3_collapse(sd, prefix: str) -> tuple[np.ndarray, np.ndarray]:
@@ -110,7 +118,8 @@ def collapse_all(sd, markers: dict[str, object]) -> dict:
                 prefix = k[: -len(suffix) - 1]
                 w, b = fn(sd, prefix)
                 out[f'{prefix}.{out_name}.weight'] = w
-                out[f'{prefix}.{out_name}.bias'] = b
+                if b is not None:
+                    out[f'{prefix}.{out_name}.bias'] = b
                 consumed_prefixes.append(prefix + '.')
     for k, v in sd.items():
         if any(k.startswith(p) for p in consumed_prefixes):
