@@ -111,9 +111,16 @@ def _rebuild_parameter(data, requires_grad=False, backward_hooks=None):
     return data
 
 
+class _StateDict(dict):
+    """OrderedDict stand-in tolerating pickle BUILD state (``_metadata``)."""
+
+    def __setstate__(self, state):
+        pass
+
+
 _SAFE_GLOBALS: dict[tuple[str, str], Any] = {
-    ('collections', 'OrderedDict'): dict,
-    ('typing', 'OrderedDict'): dict,
+    ('collections', 'OrderedDict'): _StateDict,
+    ('typing', 'OrderedDict'): _StateDict,
     ('torch._utils', '_rebuild_tensor_v2'): _rebuild_tensor_v2,
     ('torch._utils', '_rebuild_tensor'): _rebuild_tensor,
     ('torch._utils', '_rebuild_parameter'): _rebuild_parameter,
