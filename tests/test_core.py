@@ -104,3 +104,22 @@ def test_registry_typed_error():
         r.get('nope')
     with pytest.raises(ArchitectureNotFound):
         r.load_from_state_dict({'not.a.key': np.zeros(1)})
+
+
+def test_model_cache_roundtrip(tmp_path):
+    import numpy as np
+
+    import resselt_tpu
+    from resselt_tpu.cache import load_model, save_model
+    from resselt_tpu.zoo import make_spanplus, make_swinir
+
+    for sd in (make_spanplus(feature_channels=16, blocks=(1,)),
+               make_swinir(embed_dim=16, depths=(1,), num_heads=(2,), upscale=2)):
+        model = resselt_tpu.load_from_state_dict(sd)
+        p = tmp_path / f'{model.arch_id}.npz'
+        save_model(model, str(p))
+        model2 = load_model(str(p))
+        assert model2.arch_id == model.arch_id
+        assert model2.config == model.config
+        x = np.random.default_rng(0).random((1, 16, 16, 3), dtype=np.float32)
+        np.testing.assert_allclose(np.asarray(model(x)), np.asarray(model2(x)), rtol=1e-6, atol=1e-6)
