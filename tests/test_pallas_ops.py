@@ -1,0 +1,34 @@
+"""Correctness tests for Pallas kernels (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from resselt_tpu.nn import functional as F
+from resselt_tpu.ops import fused_conv3x3_act
+
+
+@pytest.mark.parametrize('act', ['linear', 'lrelu', 'silu', 'mish'])
+@pytest.mark.parametrize('shape', [(32, 128, 64, 64), (48, 160, 48, 64), (16, 128, 3, 64)])
+def test_fused_conv3x3(act, shape):
+    h, w, cin, cout = shape
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((h, w, cin)).astype(np.float32)
+    wt = (rng.standard_normal((cout, cin, 3, 3)) * 0.05).astype(np.float32)
+    b = rng.standard_normal(cout).astype(np.float32)
+
+    want = F.conv2d(x[None], wt, b, padding=1)[0]
+    fns = {'linear': lambda t: t, 'lrelu': lambda t: F.leaky_relu(t, 0.2), 'silu': F.silu, 'mish': F.mish}
+    want = np.asarray(fns[act](want))
+
+    got = np.asarray(fused_conv3x3_act(x, wt, b, act=act, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_conv3x3_batched():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 24, 128, 32)).astype(np.float32)
+    wt = (rng.standard_normal((32, 32, 3, 3)) * 0.05).astype(np.float32)
+    want = np.asarray(F.conv2d(x, wt, None, padding=1))
+    got = np.asarray(fused_conv3x3_act(x, wt, None, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
