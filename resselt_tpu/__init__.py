@@ -38,6 +38,19 @@ def load_from_state_dict(state_dict: Mapping[str, Any]) -> SRModel:
     return internal_registry.load_from_state_dict(state_dict)
 
 
+def __getattr__(name):
+    # convenience lazy re-exports of the heavier submodules
+    if name in ('upscale_tiled', 'make_mesh'):
+        from . import parallel
+
+        return getattr(parallel, name)
+    if name in ('save_model', 'load_model'):
+        from . import cache
+
+        return getattr(cache, name)
+    raise AttributeError(name)
+
+
 __all__ = [
     'add',
     'get',

@@ -102,11 +102,16 @@ class SRModel:
         return self._apply_fn(self.config, params, x)
 
     def __call__(self, x, dtype=None) -> jax.Array:
-        """Run the model on an NHWC (or HWC) float image batch in [0, 1]."""
+        """Run the model on an NHWC (or HWC) image batch.
+
+        Float inputs are expected in [0, 1]; uint8 images are converted
+        automatically."""
         x = jnp.asarray(x)
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
         if dtype is not None:
             x = x.astype(dtype)
         elif x.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):

@@ -1,0 +1,141 @@
+"""SR fine-tuning / training loop over a folder of images.
+
+The reference ships no training code (SURVEY.md §0); this drives
+``resselt_tpu.train`` end-to-end: random HR crops paired with synthetic LR
+(box-downsampled) inputs, data-parallel sharding over all devices, periodic
+eval PSNR, and checkpointing via the converted-model cache.
+
+    python tools/train_sr.py CKPT_OR_NPZ IMAGE_DIR --steps 1000 --scale 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+logger = logging.getLogger('resselt_tpu.train')
+
+
+def load_images(image_dir: str, min_size: int) -> list[np.ndarray]:
+    from PIL import Image
+
+    files = sorted(
+        f for ext in ('png', 'jpg', 'jpeg', 'webp', 'bmp')
+        for f in glob.glob(os.path.join(image_dir, f'*.{ext}'))
+    )
+    out = []
+    for f in files:
+        img = np.asarray(Image.open(f).convert('RGB'), dtype=np.float32) / 255.0
+        if img.shape[0] >= min_size and img.shape[1] >= min_size:
+            out.append(img)
+    if not out:
+        raise SystemExit(f'no usable images >= {min_size}px in {image_dir}')
+    return out
+
+
+def make_batch(rng: np.random.Generator, images: list[np.ndarray], batch: int, crop: int, scale: int):
+    hr = np.empty((batch, crop, crop, 3), np.float32)
+    for i in range(batch):
+        img = images[rng.integers(len(images))]
+        y = rng.integers(img.shape[0] - crop + 1)
+        x = rng.integers(img.shape[1] - crop + 1)
+        patch = img[y : y + crop, x : x + crop]
+        if rng.random() < 0.5:
+            patch = patch[:, ::-1]
+        if rng.random() < 0.5:
+            patch = patch[::-1]
+        hr[i] = patch
+    lr = hr.reshape(batch, crop // scale, scale, crop // scale, scale, 3).mean(axis=(2, 4))
+    return lr, hr
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('model', help='checkpoint (.pth/.safetensors/...) or cached .npz')
+    parser.add_argument('images', help='directory of training images')
+    parser.add_argument('--steps', type=int, default=200)
+    parser.add_argument('--batch', type=int, default=8)
+    parser.add_argument('--crop', type=int, default=64, help='HR crop size')
+    parser.add_argument('--lr', type=float, default=2e-4)
+    parser.add_argument('--loss', default='charbonnier', choices=['charbonnier', 'l1', 'l2'])
+    parser.add_argument('--save', default=None, help='write fine-tuned model cache (.npz)')
+    parser.add_argument('--log-every', type=int, default=20)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format='%(asctime)s %(levelname)s %(message)s')
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import resselt_tpu
+    from resselt_tpu.cache import load_model, save_model
+    from resselt_tpu.parallel.mesh import make_mesh, param_sharding
+    from resselt_tpu.train import init_train_state, make_optimizer, make_train_step, psnr
+
+    if args.model.endswith('.npz'):
+        model = load_model(args.model)
+    else:
+        model = resselt_tpu.load_from_file(args.model)
+    scale = model.metadata.upscale
+    if not isinstance(scale, int):
+        scale = 2
+    logger.info('model %s (%s), scale %s', model.arch_id, model.metadata.name, scale)
+
+    images = load_images(args.images, args.crop)
+    logger.info('%d training images', len(images))
+
+    n_dev = len(jax.devices())
+    batch = max(args.batch - args.batch % n_dev, n_dev)
+    mesh = make_mesh(dp=n_dev, tp=1)
+    data_sharding = NamedSharding(mesh, P('dp'))
+    logger.info('devices=%d batch=%d', n_dev, batch)
+
+    optimizer = make_optimizer(lr=args.lr)
+    state = init_train_state(model.params, optimizer)
+    p_shard = param_sharding(mesh, state.params)
+    state = state._replace(params={k: jax.device_put(v, p_shard[k]) for k, v in state.params.items()})
+    step_fn = jax.jit(make_train_step(model._apply_fn, model.config, optimizer, loss=args.loss))
+
+    rng = np.random.default_rng(0)
+    eval_lr, eval_hr = make_batch(rng, images, batch, args.crop, scale)
+    eval_lr = jax.device_put(jnp.asarray(eval_lr), data_sharding)
+    eval_hr = jax.device_put(jnp.asarray(eval_hr), data_sharding)
+
+    apply_jit = jax.jit(lambda p, x: model._apply_fn(model.config, p, x))
+    base_psnr = float(psnr(apply_jit(state.params, eval_lr), eval_hr))
+    logger.info('initial eval PSNR %.2f dB', base_psnr)
+
+    t0 = time.perf_counter()
+    with mesh:
+        for step in range(1, args.steps + 1):
+            lr_np, hr_np = make_batch(rng, images, batch, args.crop, scale)
+            lr_b = jax.device_put(jnp.asarray(lr_np), data_sharding)
+            hr_b = jax.device_put(jnp.asarray(hr_np), data_sharding)
+            state, metrics = step_fn(state, lr_b, hr_b)
+            if step % args.log_every == 0 or step == args.steps:
+                loss = float(metrics['loss'])
+                gn = float(metrics['grad_norm'])
+                ips = step * batch / (time.perf_counter() - t0)
+                logger.info('step %d loss %.5f grad_norm %.3f (%.1f img/s)', step, loss, gn, ips)
+
+    final_psnr = float(psnr(apply_jit(state.params, eval_lr), eval_hr))
+    logger.info('final eval PSNR %.2f dB (was %.2f)', final_psnr, base_psnr)
+
+    if args.save:
+        model.params = state.params
+        save_model(model, args.save)
+        logger.info('saved fine-tuned model to %s', args.save)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
