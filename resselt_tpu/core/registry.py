@@ -11,11 +11,15 @@ Fixes two latent reference issues flagged in SURVEY.md:
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Iterator, Mapping
 
 from ..io import load_state_dict_from_file
 from .factory import Architecture, SRModel
 from .state_dict import canonicalize_state_dict
+
+
+logger = logging.getLogger('resselt_tpu.registry')
 
 
 class ArchitectureNotFound(Exception):
@@ -53,7 +57,13 @@ class Registry:
 
         for architecture in self.store.values():
             if architecture.detect(state_dict):
-                return architecture.load(state_dict)
+                model = architecture.load(state_dict)
+                logger.info(
+                    'detected %s (%s): upscale=%s in=%d out=%d, %d params',
+                    architecture.id, model.metadata.name, model.metadata.upscale,
+                    model.metadata.in_channels, model.metadata.out_channels, len(model.params),
+                )
+                return model
 
         raise ArchitectureNotFound(
             'No registered architecture matches the checkpoint key fingerprint '

@@ -97,6 +97,7 @@ def upscale_tiled(
     halo: int = 16,
     batch_size: int | None = None,
     mesh: 'jax.sharding.Mesh | None' = None,
+    dtype=None,
 ):
     """Run an SRModel over a large image via overlap tiling.
 
@@ -112,7 +113,7 @@ def upscale_tiled(
     h, w, _ = image.shape
     window = tile + 2 * halo
     if h <= window and w <= window:
-        return model(image)
+        return model(image, dtype=dtype)
     if h < window or w < window:
         # one dimension smaller than a window: single strip, no tiling there
         tile = max(1, min(h, w) - 2 * halo)
@@ -139,7 +140,7 @@ def upscale_tiled(
             axis = mesh.axis_names[0]
             sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
             chunk = jax.device_put(chunk, sharding)
-        out = model(chunk)
+        out = model(chunk, dtype=dtype)
         if pad_n > 0:
             out = out[: chunk.shape[0] - pad_n]
         outs.append(out)

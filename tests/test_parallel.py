@@ -94,3 +94,15 @@ def test_graft_entry_and_dryrun():
     y = jax.jit(fn)(params, x)
     assert y.shape == (1, 256, 256, 3)
     g.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_bf16_inference_close_to_f32():
+    import jax.numpy as jnp
+
+    model = _compact_model()
+    img = np.random.default_rng(5).random((32, 32, 3), dtype=np.float32)
+    f32 = np.asarray(model(img))
+    bf16 = np.asarray(model(img, dtype=jnp.bfloat16)).astype(np.float32)
+    mse = np.mean((f32 - bf16) ** 2)
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 35, f'bf16 path too lossy: {psnr:.1f} dB'
