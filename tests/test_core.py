@@ -123,3 +123,31 @@ def test_model_cache_roundtrip(tmp_path):
         assert model2.config == model.config
         x = np.random.default_rng(0).random((1, 16, 16, 3), dtype=np.float32)
         np.testing.assert_allclose(np.asarray(model(x)), np.asarray(model2(x)), rtol=1e-6, atol=1e-6)
+
+
+def test_torchscript_pt_roundtrip(tmp_path):
+    """.pt TorchScript archives extract state dicts via the torch fallback."""
+    import torch
+
+    from resselt_tpu.io import load_state_dict_from_file
+
+    class Tiny(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(3, 4, 3)
+
+        def forward(self, x):
+            return self.conv(x)
+
+    m = Tiny().eval()
+    scripted = torch.jit.script(m)
+    p = tmp_path / 'model.pt'
+    torch.jit.save(scripted, str(p))
+    sd = load_state_dict_from_file(str(p))
+    np.testing.assert_allclose(sd['conv.weight'], m.conv.weight.detach().numpy())
+
+    # plain torch.save with .pt extension must use the pure-python reader
+    p2 = tmp_path / 'plain.pt'
+    torch.save(m.state_dict(), str(p2))
+    sd2 = load_state_dict_from_file(str(p2))
+    np.testing.assert_allclose(sd2['conv.weight'], m.conv.weight.detach().numpy())
