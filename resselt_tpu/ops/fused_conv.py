@@ -13,6 +13,14 @@ Mosaic alignment rules the implementation obeys (learned the hard way):
 
 The kernel computes, per row-tile, ``act(sum_9 shift(x) @ W_k + b)`` with
 all 9 taps as MXU matmuls over a VMEM-resident tile.
+
+STATUS (round 1): exact in interpret mode (tests/test_pallas_ops.py), but
+every live-TPU run through the axon tunnel faults the worker process
+(three attempts: unaligned sublane ref slices; row-shifted DMAs with
+``pl.ANY`` input; input pinned to ``pltpu.HBM``).  Until the round-2
+bisection (CLAUDE.md) isolates the faulting construct, do not call with
+``interpret=False`` on the shared tunnel TPU — a fault costs ~15 min of
+worker downtime.  Nothing in the library calls this on the live path.
 """
 
 from __future__ import annotations
@@ -114,7 +122,7 @@ def fused_conv3x3_act(x, w_oihw, b=None, act: str = 'linear', th: int = 16, inte
             out_shape=jax.ShapeDtypeStruct((hp, w, _LANES), jnp.float32),
             grid=(hp // th,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.HBM if not interpret else pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
