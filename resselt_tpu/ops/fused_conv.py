@@ -92,7 +92,7 @@ def _pad_to(v: int, m: int) -> int:
 
 def pallas_conv_available(h: int, w: int, cin: int, cout: int) -> bool:
     """Shapes this kernel supports."""
-    return cin <= _LANES and cout <= _LANES and w >= 128 and h >= 8
+    return cin <= 2 * _LANES and cout <= _LANES and w >= 128 and h >= 8
 
 
 @functools.partial(jax.jit, static_argnames=('act', 'th', 'interpret'))
@@ -108,10 +108,11 @@ def fused_conv3x3_act(x, w_oihw, b=None, act: str = 'linear', th: int = 16, inte
     n, h, w, cin = x.shape
     cout = w_oihw.shape[0]
     hp = _pad_to(h, th)
+    cp = _pad_to(cin, _LANES)  # input lane groups (cin <= 256 supported)
 
-    # (9, CP, CP) taps: [di*3+dj, in, out]
+    # (9, CP, COP) taps: [di*3+dj, in, out]
     wk = jnp.transpose(w_oihw, (2, 3, 1, 0)).reshape(9, cin, cout)
-    wk = jnp.pad(wk, ((0, 0), (0, _LANES - cin), (0, _LANES - cout))).astype(jnp.float32)
+    wk = jnp.pad(wk, ((0, 0), (0, cp - cin), (0, _LANES - cout))).astype(jnp.float32)
     bp = jnp.zeros((_LANES,), jnp.float32) if b is None else jnp.pad(b.astype(jnp.float32), (0, _LANES - cout))
 
     # rows: 1 top halo + pad to tile multiple + overfetch slack for the
@@ -122,7 +123,7 @@ def fused_conv3x3_act(x, w_oihw, b=None, act: str = 'linear', th: int = 16, inte
     wp_in = _pad_to(wp + 2, 8)
     xp = jnp.pad(
         x.astype(jnp.float32),
-        ((0, 0), (1, hp - h + _ROW_OVERFETCH - 1), (1, wp_in - w - 1), (0, _LANES - cin)),
+        ((0, 0), (1, hp - h + _ROW_OVERFETCH - 1), (1, wp_in - w - 1), (0, cp - cin)),
     )
     w_cols = wp  # output columns per row (valid cols 0..w-1, rest cropped)
 
@@ -140,7 +141,7 @@ def fused_conv3x3_act(x, w_oihw, b=None, act: str = 'linear', th: int = 16, inte
             ],
             out_specs=pl.BlockSpec((th, wp, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((th + _ROW_OVERFETCH, wp_in, _LANES), jnp.float32),
+                pltpu.VMEM((th + _ROW_OVERFETCH, wp_in, cp), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
