@@ -15,11 +15,16 @@ field fits inside the halo.
 
 from __future__ import annotations
 
+import logging
 import math
+import time
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+
+
+logger = logging.getLogger('resselt_tpu.tiling')
 
 
 @dataclass(frozen=True)
@@ -131,6 +136,7 @@ def upscale_tiled(
     batch_size = min(batch_size, n) if mesh is None else batch_size
 
     outs = []
+    verbose = logger.isEnabledFor(logging.DEBUG)
     for i in range(0, n, batch_size):
         chunk = tiles[i : i + batch_size]
         pad_n = batch_size - chunk.shape[0]
@@ -140,9 +146,18 @@ def upscale_tiled(
             axis = mesh.axis_names[0]
             sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
             chunk = jax.device_put(chunk, sharding)
+        t0 = time.perf_counter() if verbose else 0.0
         out = model(chunk, dtype=dtype)
         if pad_n > 0:
             out = out[: chunk.shape[0] - pad_n]
         outs.append(out)
+        if verbose:
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            mp = out.shape[0] * out.shape[1] * out.shape[2] / 1e6
+            logger.debug(
+                'tiles %d-%d/%d: %.3fs (%.2f MP/s out, incl. any compile)',
+                i + 1, i + out.shape[0], n, dt, mp / max(dt, 1e-9),
+            )
     out_tiles = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     return stitch_tiles(out_tiles, grid, scale)

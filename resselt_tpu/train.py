@@ -20,6 +20,7 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jax.Array
+    ema: Any = None  # EMA of the float params, or None when disabled
 
 
 def charbonnier_loss(pred, target, eps: float = 1e-6):
@@ -37,7 +38,40 @@ def l2_loss(pred, target):
 LOSSES: dict[str, Callable] = {'charbonnier': charbonnier_loss, 'l1': l1_loss, 'l2': l2_loss}
 
 
-def make_optimizer(lr: float = 2e-4, weight_decay: float = 0.0, clip: float = 1.0) -> optax.GradientTransformation:
+def make_lr_schedule(
+    base_lr: float = 2e-4,
+    kind: str = 'constant',
+    total_steps: int = 0,
+    warmup_steps: int = 0,
+    milestones: tuple[int, ...] = (),
+    gamma: float = 0.5,
+):
+    """Standard SR learning-rate schedules (constant / cosine / multistep),
+    each with optional linear warmup."""
+    if kind == 'constant':
+        sched = optax.constant_schedule(base_lr)
+    elif kind == 'cosine':
+        if total_steps <= warmup_steps:
+            raise ValueError('cosine schedule needs total_steps > warmup_steps')
+        sched = optax.cosine_decay_schedule(base_lr, total_steps - warmup_steps)
+    elif kind == 'multistep':
+        sched = optax.piecewise_constant_schedule(
+            base_lr, {int(m): gamma for m in milestones}
+        )
+    else:
+        raise ValueError(f'unknown schedule {kind!r}')
+    if warmup_steps:
+        warm = optax.linear_schedule(0.0, base_lr, warmup_steps)
+        sched = optax.join_schedules([warm, sched], [warmup_steps])
+    return sched
+
+
+def make_optimizer(
+    lr: 'float | Callable' = 2e-4,
+    weight_decay: float = 0.0,
+    clip: float = 1.0,
+) -> optax.GradientTransformation:
+    """Adam(W) with global-norm clipping; ``lr`` may be a schedule."""
     steps = [optax.clip_by_global_norm(clip)]
     if weight_decay:
         steps.append(optax.adamw(lr, weight_decay=weight_decay))
@@ -53,10 +87,16 @@ def split_trainable(params):
     return trainable, static
 
 
-def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+def init_train_state(params, optimizer: optax.GradientTransformation, ema: bool = False) -> TrainState:
     params = {k: v.astype(jnp.float32) if jnp.issubdtype(v.dtype, jnp.floating) else v for k, v in params.items()}
     trainable, _ = split_trainable(params)
-    return TrainState(params=params, opt_state=optimizer.init(trainable), step=jnp.zeros((), jnp.int32))
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(trainable),
+        step=jnp.zeros((), jnp.int32),
+        # real copies, not aliases: state donation must not see one buffer twice
+        ema=jax.tree.map(lambda v: jnp.array(v, copy=True), trainable) if ema else None,
+    )
 
 
 def make_train_step(
@@ -64,12 +104,21 @@ def make_train_step(
     config: Any,
     optimizer: optax.GradientTransformation,
     loss: str | Callable = 'charbonnier',
+    ema_decay: float = 0.0,
 ):
     """Build a pure ``(state, lr, hr) -> (state, metrics)`` step function.
 
     ``apply_fn(config, params, x)`` is any SRModel apply; ``lr``/``hr`` are
     NHWC batches.  jit/pjit the result with whatever shardings the caller
-    laid out — all collectives are inserted by XLA from those shardings."""
+    laid out — all collectives are inserted by XLA from those shardings.
+    The step is safe to jit with ``donate_argnums=(0,)`` (the state is
+    consumed and rebuilt), which lets XLA reuse the param/opt buffers
+    in-place instead of doubling HBM.
+
+    ``ema_decay`` > 0 maintains an exponential moving average of the float
+    params in ``state.ema`` (the TPU-native analogue of the reference
+    checkpoints' ``params_ema`` entries, which the loader unwraps —
+    resselt/utilities/state_dict.py:16-36)."""
     loss_fn = LOSSES[loss] if isinstance(loss, str) else loss
     model = functools.partial(apply_fn, config)
 
@@ -85,9 +134,25 @@ def make_train_step(
         trainable = optax.apply_updates(trainable, updates)
         gnorm = optax.global_norm(grads)
         params = {**trainable, **static}
-        return TrainState(params, opt_state, state.step + 1), {'loss': loss_val, 'grad_norm': gnorm}
+        ema = state.ema
+        if ema_decay and ema is not None:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, trainable
+            )
+        return (
+            TrainState(params, opt_state, state.step + 1, ema),
+            {'loss': loss_val, 'grad_norm': gnorm},
+        )
 
     return train_step
+
+
+def ema_params(state: TrainState):
+    """Full param dict with EMA weights swapped in for the float params."""
+    if state.ema is None:
+        return state.params
+    _, static = split_trainable(state.params)
+    return {**state.ema, **static}
 
 
 def psnr(pred, target, max_val: float = 1.0):

@@ -1,0 +1,106 @@
+"""Training utilities: schedules, EMA, buffer donation (SURVEY.md §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import resselt_tpu
+from resselt_tpu.train import (
+    ema_params,
+    init_train_state,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+)
+from resselt_tpu.zoo import make_compact
+
+
+def _model():
+    return resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
+
+
+def test_lr_schedules():
+    s = make_lr_schedule(1e-3, 'constant')
+    assert float(s(0)) == pytest.approx(1e-3)
+
+    s = make_lr_schedule(1e-3, 'cosine', total_steps=100)
+    assert float(s(0)) == pytest.approx(1e-3)
+    assert float(s(100)) == pytest.approx(0.0, abs=1e-9)
+
+    s = make_lr_schedule(1e-3, 'multistep', milestones=(10, 20), gamma=0.5)
+    assert float(s(5)) == pytest.approx(1e-3)
+    assert float(s(15)) == pytest.approx(5e-4)
+    assert float(s(25)) == pytest.approx(2.5e-4)
+
+    s = make_lr_schedule(1e-3, 'cosine', total_steps=100, warmup_steps=10)
+    assert float(s(0)) == pytest.approx(0.0)
+    assert float(s(10)) == pytest.approx(1e-3)
+
+    with pytest.raises(ValueError):
+        make_lr_schedule(1e-3, 'nope')
+    with pytest.raises(ValueError):
+        make_lr_schedule(1e-3, 'cosine', total_steps=0)
+
+
+def test_ema_tracks_params():
+    model = _model()
+    opt = make_optimizer(lr=1e-2)
+    state = init_train_state(model.params, opt, ema=True)
+    step = jax.jit(make_train_step(model._apply_fn, model.config, opt, ema_decay=0.9))
+
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+    lr = hr[:, ::2, ::2, :]
+
+    k = 'body.0.weight'
+    w0 = np.asarray(state.params[k])
+    for _ in range(5):
+        state, _ = step(state, lr, hr)
+    w, e = np.asarray(state.params[k]), np.asarray(state.ema[k])
+    # EMA lags the live params but has moved off the init
+    assert not np.allclose(e, w)
+    assert not np.allclose(e, w0)
+    assert np.abs(e - w0).max() < np.abs(w - w0).max()
+
+    # swapped dict keeps non-float buffers and is usable by the model
+    ep = ema_params(state)
+    assert set(ep) == set(state.params)
+    y = model.apply(ep, lr)
+    assert y.shape == hr.shape
+
+
+def test_ema_disabled_by_default():
+    model = _model()
+    opt = make_optimizer()
+    state = init_train_state(model.params, opt)
+    assert state.ema is None
+    assert ema_params(state) is state.params
+
+
+def test_train_step_with_buffer_donation():
+    """The step must be donate-safe: jit(donate_argnums=0) result matches a
+    fresh undonated run (SURVEY.md §5 race-detection row)."""
+    model = _model()
+    opt = make_optimizer(lr=1e-3)
+    step_plain = jax.jit(make_train_step(model._apply_fn, model.config, opt))
+    step_donate = jax.jit(make_train_step(model._apply_fn, model.config, opt), donate_argnums=(0,))
+
+    rng = np.random.default_rng(1)
+    hr = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+    lr = hr[:, ::2, ::2, :]
+
+    s1 = init_train_state(model.params, opt)
+    s1, m1 = step_plain(s1, lr, hr)
+    s2 = init_train_state(model.params, opt)
+    s2, m2 = step_donate(s2, lr, hr)
+
+    assert float(m1['loss']) == pytest.approx(float(m2['loss']), rel=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.params['body.0.weight']),
+        np.asarray(s2.params['body.0.weight']),
+        rtol=1e-6,
+    )
+    # donated state is consumed; the returned one keeps working
+    s2, _ = step_donate(s2, lr, hr)
+    assert int(s2.step) == 2

@@ -65,7 +65,10 @@ def main(argv=None) -> int:
     parser.add_argument('--batch', type=int, default=8)
     parser.add_argument('--crop', type=int, default=64, help='HR crop size')
     parser.add_argument('--lr', type=float, default=2e-4)
+    parser.add_argument('--schedule', default='constant', choices=['constant', 'cosine', 'multistep'])
+    parser.add_argument('--warmup', type=int, default=0, help='linear warmup steps')
     parser.add_argument('--loss', default='charbonnier', choices=['charbonnier', 'l1', 'l2'])
+    parser.add_argument('--ema', type=float, default=0.0, help='EMA decay (0 disables; e.g. 0.999)')
     parser.add_argument('--save', default=None, help='write fine-tuned model cache (.npz)')
     parser.add_argument('--log-every', type=int, default=20)
     args = parser.parse_args(argv)
@@ -79,7 +82,9 @@ def main(argv=None) -> int:
     import resselt_tpu
     from resselt_tpu.cache import load_model, save_model
     from resselt_tpu.parallel.mesh import make_mesh, param_sharding
-    from resselt_tpu.train import init_train_state, make_optimizer, make_train_step, psnr
+    from resselt_tpu.train import (
+        ema_params, init_train_state, make_lr_schedule, make_optimizer, make_train_step, psnr,
+    )
 
     if args.model.endswith('.npz'):
         model = load_model(args.model)
@@ -99,11 +104,15 @@ def main(argv=None) -> int:
     data_sharding = NamedSharding(mesh, P('dp'))
     logger.info('devices=%d batch=%d', n_dev, batch)
 
-    optimizer = make_optimizer(lr=args.lr)
-    state = init_train_state(model.params, optimizer)
+    schedule = make_lr_schedule(args.lr, args.schedule, total_steps=args.steps, warmup_steps=args.warmup)
+    optimizer = make_optimizer(lr=schedule)
+    state = init_train_state(model.params, optimizer, ema=args.ema > 0)
     p_shard = param_sharding(mesh, state.params)
     state = state._replace(params={k: jax.device_put(v, p_shard[k]) for k, v in state.params.items()})
-    step_fn = jax.jit(make_train_step(model._apply_fn, model.config, optimizer, loss=args.loss))
+    step_fn = jax.jit(
+        make_train_step(model._apply_fn, model.config, optimizer, loss=args.loss, ema_decay=args.ema),
+        donate_argnums=(0,),
+    )
 
     rng = np.random.default_rng(0)
     eval_lr, eval_hr = make_batch(rng, images, batch, args.crop, scale)
@@ -127,11 +136,13 @@ def main(argv=None) -> int:
                 ips = step * batch / (time.perf_counter() - t0)
                 logger.info('step %d loss %.5f grad_norm %.3f (%.1f img/s)', step, loss, gn, ips)
 
-    final_psnr = float(psnr(apply_jit(state.params, eval_lr), eval_hr))
-    logger.info('final eval PSNR %.2f dB (was %.2f)', final_psnr, base_psnr)
+    out_params = ema_params(state) if args.ema > 0 else state.params
+    final_psnr = float(psnr(apply_jit(out_params, eval_lr), eval_hr))
+    logger.info('final eval PSNR %.2f dB (was %.2f)%s', final_psnr, base_psnr,
+                ' [EMA weights]' if args.ema > 0 else '')
 
     if args.save:
-        model.params = state.params
+        model.params = out_params
         save_model(model, args.save)
         logger.info('saved fine-tuned model to %s', args.save)
     return 0
