@@ -93,6 +93,12 @@ class SRModel:
         self._apply_fn = apply_fn
         self._jitted = jax.jit(functools.partial(apply_fn, config))
 
+        def _apply_prec(prec, params, x):
+            with jax.default_matmul_precision(prec):
+                return apply_fn(config, params, x)
+
+        self._jitted_prec = jax.jit(_apply_prec, static_argnums=0)
+
     @property
     def upscale(self) -> int | Sequence[int]:
         return self.metadata.upscale
@@ -101,11 +107,14 @@ class SRModel:
         """Un-jitted forward (for composition under an outer jit/shard_map)."""
         return self._apply_fn(self.config, params, x)
 
-    def __call__(self, x, dtype=None) -> jax.Array:
+    def __call__(self, x, dtype=None, precision: str | None = None) -> jax.Array:
         """Run the model on an NHWC (or HWC) image batch.
 
         Float inputs are expected in [0, 1]; uint8 images are converted
-        automatically."""
+        automatically.  ``precision``: None uses the device default (on TPU,
+        f32 matmuls/convs run as fast bf16 MXU passes); ``'highest'`` forces
+        full-f32 accumulation (~3x MXU cost) for bit-accuracy-critical runs;
+        ``'tensorfloat32'``/``'bfloat16'`` select intermediate modes."""
         x = jnp.asarray(x)
         squeeze = x.ndim == 3
         if squeeze:
@@ -116,7 +125,10 @@ class SRModel:
             x = x.astype(dtype)
         elif x.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
             x = x.astype(jnp.float32)
-        y = self._jitted(self.params, x)
+        if precision is None:
+            y = self._jitted(self.params, x)
+        else:
+            y = self._jitted_prec(precision, self.params, x)
         return y[0] if squeeze else y
 
 

@@ -103,11 +103,13 @@ def upscale_tiled(
     batch_size: int | None = None,
     mesh: 'jax.sharding.Mesh | None' = None,
     dtype=None,
+    precision: str | None = None,
 ):
     """Run an SRModel over a large image via overlap tiling.
 
     ``image``: (H, W, C) in [0, 1].  When ``mesh`` is given, each tile batch
-    is sharded over the mesh's first axis (data parallel over tiles)."""
+    is sharded over the mesh's first axis (data parallel over tiles).
+    ``precision`` is forwarded to the model (see ``SRModel.__call__``)."""
     image = jnp.asarray(image)
     if image.ndim != 3:
         raise ValueError('upscale_tiled expects an HWC image')
@@ -118,7 +120,7 @@ def upscale_tiled(
     h, w, _ = image.shape
     window = tile + 2 * halo
     if h <= window and w <= window:
-        return model(image, dtype=dtype)
+        return model(image, dtype=dtype, precision=precision)
     if h < window or w < window:
         # one dimension smaller than a window: single strip, no tiling there
         tile = max(1, min(h, w) - 2 * halo)
@@ -147,7 +149,7 @@ def upscale_tiled(
             sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
             chunk = jax.device_put(chunk, sharding)
         t0 = time.perf_counter() if verbose else 0.0
-        out = model(chunk, dtype=dtype)
+        out = model(chunk, dtype=dtype, precision=precision)
         if pad_n > 0:
             out = out[: chunk.shape[0] - pad_n]
         outs.append(out)

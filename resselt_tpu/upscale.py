@@ -2,6 +2,10 @@
 
     python -m resselt_tpu.upscale MODEL INPUT OUTPUT [--tile 256] [--halo 16]
 
+``INPUT``/``OUTPUT`` may be single images or directories (batch mode).
+``MODEL`` is any supported checkpoint, or a ``.npz`` cache written by
+``resselt_tpu.cache``/``python -m resselt_tpu.convert``.
+
 The reference ships no CLI (SURVEY.md §0); this is the end-to-end driver:
 checkpoint -> detection -> jit-compiled inference (tiled for large inputs)
 -> image out, with structured logging of the detection result and optional
@@ -12,12 +16,15 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
 import numpy as np
 
 logger = logging.getLogger('resselt_tpu')
+
+IMAGE_EXTS = ('.png', '.jpg', '.jpeg', '.bmp', '.webp', '.tif', '.tiff')
 
 
 def load_image(path: str) -> np.ndarray:
@@ -34,14 +41,28 @@ def save_image(path: str, arr: np.ndarray) -> None:
     Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(path)
 
 
+def load_model(path: str):
+    import resselt_tpu
+
+    if path.endswith('.npz'):
+        from resselt_tpu.cache import load_model as load_cached
+
+        return load_cached(path)
+    return resselt_tpu.load_from_file(path)
+
+
 def main(argv=None) -> int:
-    parser = argparse.ArgumentParser(description='Upscale an image with an auto-detected SR model.')
-    parser.add_argument('model', help='checkpoint file (.pth/.pt/.ckpt/.safetensors)')
-    parser.add_argument('input', help='input image')
-    parser.add_argument('output', help='output image')
+    parser = argparse.ArgumentParser(description='Upscale image(s) with an auto-detected SR model.')
+    parser.add_argument('model', help='checkpoint file (.pth/.pt/.ckpt/.safetensors) or .npz cache')
+    parser.add_argument('input', help='input image or directory')
+    parser.add_argument('output', help='output image or directory')
     parser.add_argument('--tile', type=int, default=0, help='tile size for tiled inference (0 = whole image)')
     parser.add_argument('--halo', type=int, default=16, help='tile halo/overlap')
     parser.add_argument('--bf16', action='store_true', help='run compute in bfloat16')
+    parser.add_argument(
+        '--precision', default=None, choices=['highest', 'tensorfloat32', 'bfloat16'],
+        help='matmul/conv precision (default: device-fastest; highest = full-f32 MXU passes)',
+    )
     parser.add_argument('--trace', metavar='DIR', default=None, help='write a jax profiler trace to DIR')
     parser.add_argument('-v', '--verbose', action='store_true')
     args = parser.parse_args(argv)
@@ -53,11 +74,10 @@ def main(argv=None) -> int:
 
     import jax
 
-    import resselt_tpu
     from resselt_tpu.parallel import upscale_tiled
 
     t0 = time.perf_counter()
-    model = resselt_tpu.load_from_file(args.model)
+    model = load_model(args.model)
     meta = model.metadata
     logger.info(
         'detected arch=%s name=%s upscale=%s in_ch=%d out_ch=%d config=%s (%.2fs)',
@@ -65,8 +85,18 @@ def main(argv=None) -> int:
         type(model.config).__name__, time.perf_counter() - t0,
     )
 
-    img = load_image(args.input)
-    logger.info('input %s %dx%d', args.input, img.shape[1], img.shape[0])
+    if os.path.isdir(args.input):
+        names = sorted(n for n in os.listdir(args.input) if n.lower().endswith(IMAGE_EXTS))
+        if not names:
+            logger.error('no images found in %s', args.input)
+            return 1
+        pairs = [(os.path.join(args.input, n), os.path.join(args.output, n)) for n in names]
+        os.makedirs(args.output, exist_ok=True)
+    else:
+        pairs = [(args.input, args.output)]
+        out_dir = os.path.dirname(args.output)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
 
     dtype = None
     if args.bf16:
@@ -74,23 +104,38 @@ def main(argv=None) -> int:
 
         dtype = jnp.bfloat16
 
-    def run():
+    def run(img):
         if args.tile and (img.shape[0] > args.tile or img.shape[1] > args.tile):
-            return upscale_tiled(model, img, tile=args.tile, halo=args.halo)
-        return model(img, dtype=dtype)
+            return upscale_tiled(
+                model, img, tile=args.tile, halo=args.halo, dtype=dtype, precision=args.precision
+            )
+        return model(img, dtype=dtype, precision=args.precision)
 
-    t1 = time.perf_counter()
+    def run_all():
+        total_mp = 0.0
+        t1 = time.perf_counter()
+        for src, dst in pairs:
+            img = load_image(src)
+            logger.info('input %s %dx%d', src, img.shape[1], img.shape[0])
+            ts = time.perf_counter()
+            out = np.asarray(run(img))
+            dt = time.perf_counter() - ts
+            mp = out.shape[0] * out.shape[1] / 1e6
+            total_mp += mp
+            logger.info('upscaled to %dx%d in %.2fs (%.2f MP out, incl. compile)',
+                        out.shape[1], out.shape[0], dt, mp)
+            save_image(dst, out.astype(np.float32))
+            logger.info('wrote %s', dst)
+        if len(pairs) > 1:
+            dt = time.perf_counter() - t1
+            logger.info('%d images, %.2f MP total in %.2fs (%.2f MP/s)',
+                        len(pairs), total_mp, dt, total_mp / max(dt, 1e-9))
+
     if args.trace:
         with jax.profiler.trace(args.trace):
-            out = np.asarray(run())
+            run_all()
     else:
-        out = np.asarray(run())
-    dt = time.perf_counter() - t1
-    mp = out.shape[0] * out.shape[1] / 1e6
-    logger.info('upscaled to %dx%d in %.2fs (%.2f MP out, incl. compile)', out.shape[1], out.shape[0], dt, mp)
-
-    save_image(args.output, out.astype(np.float32))
-    logger.info('wrote %s', args.output)
+        run_all()
     return 0
 
 

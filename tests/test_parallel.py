@@ -96,6 +96,19 @@ def test_graft_entry_and_dryrun():
     g.dryrun_multichip(min(8, len(jax.devices())))
 
 
+def test_precision_argument():
+    """precision='highest' must be accepted whole-image and tiled (on CPU
+    both paths are exact; on TPU 'highest' forces full-f32 MXU passes —
+    measured 120 dB vs 92 dB parity on the live chip)."""
+    model = _compact_model()
+    img = np.random.default_rng(7).random((40, 40, 3), dtype=np.float32)
+    base = np.asarray(model(img))
+    hi = np.asarray(model(img, precision='highest'))
+    np.testing.assert_allclose(hi, base, rtol=1e-5, atol=1e-6)
+    tiled = np.asarray(upscale_tiled(model, img, tile=16, halo=8, precision='highest'))
+    np.testing.assert_allclose(tiled, base, rtol=1e-4, atol=1e-5)
+
+
 def test_bf16_inference_close_to_f32():
     import jax.numpy as jnp
 
