@@ -103,6 +103,22 @@ class SRModel:
     def upscale(self) -> int | Sequence[int]:
         return self.metadata.upscale
 
+    def with_config(self, **overrides) -> 'SRModel':
+        """New SRModel sharing these params with config fields replaced.
+
+        Example: pick a different scale on an arbitrary-scale SpanPP
+        checkpoint (reference runs base_scale unless the caller passes one,
+        resselt/archs/spanpp/arch.py:358-373):
+
+            model3x = model.with_config(eval_scale=3)
+        """
+        import dataclasses
+
+        cfg = dataclasses.replace(self.config, **overrides)
+        clone = SRModel(self.arch_id, cfg, {}, self.metadata, self._apply_fn)
+        clone.params = self.params
+        return clone
+
     def apply(self, params, x: jax.Array) -> jax.Array:
         """Un-jitted forward (for composition under an outer jit/shard_map)."""
         return self._apply_fn(self.config, params, x)

@@ -151,3 +151,41 @@ def test_torchscript_pt_roundtrip(tmp_path):
     torch.save(m.state_dict(), str(p2))
     sd2 = load_state_dict_from_file(str(p2))
     np.testing.assert_allclose(sd2['conv.weight'], m.conv.weight.detach().numpy())
+
+
+def test_detection_fuzz_no_false_positives():
+    """Random key fingerprints must raise ArchitectureNotFound, never crash
+    or mis-load (the registry is exposed to arbitrary user checkpoints)."""
+    import random
+
+    import pytest
+
+    import resselt_tpu
+    from resselt_tpu.core.registry import ArchitectureNotFound
+
+    rng = random.Random(0)
+    words = ['conv', 'weight', 'bias', 'body', 'layers', 'attn', 'up', 'head',
+             'norm', 'fc1', 'block', 'tail', 'feats', 'qkv', 'proj', 'gamma']
+    for trial in range(25):
+        n = rng.randint(1, 40)
+        sd = {}
+        for _ in range(n):
+            key = '.'.join(rng.choices(words, k=rng.randint(1, 4)))
+            sd[key] = np.zeros((rng.randint(1, 8), rng.randint(1, 8)), np.float32)
+        with pytest.raises(ArchitectureNotFound):
+            resselt_tpu.load_from_state_dict(sd)
+
+    with pytest.raises(ArchitectureNotFound):
+        resselt_tpu.load_from_state_dict({})
+
+
+def test_detection_tolerates_junk_values():
+    """Detection iterates keys only; non-tensor values must not break it."""
+    import pytest
+
+    import resselt_tpu
+    from resselt_tpu.core.registry import ArchitectureNotFound
+
+    sd = {'some.key': 'a string', 'other': None, 'n': 3}
+    with pytest.raises(ArchitectureNotFound):
+        resselt_tpu.load_from_state_dict(sd)

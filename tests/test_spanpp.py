@@ -27,3 +27,24 @@ def test_spanpp():
     assert got.shape == want.shape
     err = max_err(got, want)
     assert err < TOL, f'spanpp: max err {err}'
+
+
+@pytest.mark.parametrize('scale', [1, 3, 4])
+def test_spanpp_arbitrary_scale(scale):
+    """with_config(eval_scale=s) runs any scale in the checkpoint's list,
+    matching the reference's forward(x, scale) (spanpp/arch.py:358-373)."""
+    from resselt.archs.spanpp.arch import SpanPP
+
+    ref = init_random(
+        SpanPP(num_in_ch=3, feature_channels=16, scale_list=(1, 2, 3, 4),
+               eval_base_scale=2, ig_kernel_size=3, implicit_dim=32, latent_layers=2), 121
+    )
+    ref = ref.eval()
+    sd = state_dict_to_numpy(ref.state_dict())
+    model = resselt_tpu.load_from_state_dict(sd).with_config(eval_scale=scale)
+    x = np.random.default_rng(4).random((1, 14, 18, 3), dtype=np.float32)
+    want = run_torch(ref, x, scale)
+    got = np.asarray(model(x))
+    assert got.shape == want.shape
+    err = max_err(got, want)
+    assert err < TOL, f'spanpp@{scale}x: max err {err}'

@@ -46,7 +46,7 @@ def _sort_stable(*args, **kwargs):
     return _orig_torch_sort(*args, **kwargs)
 
 
-def run_torch(model, x_nhwc: np.ndarray) -> np.ndarray:
+def run_torch(model, x_nhwc: np.ndarray, *args) -> np.ndarray:
     """Run a torch NCHW model on an NHWC numpy batch, return NHWC numpy."""
     model = model.eval()
     t = torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
@@ -54,7 +54,7 @@ def run_torch(model, x_nhwc: np.ndarray) -> np.ndarray:
     torch.sort = _sort_stable
     try:
         with torch.inference_mode():
-            y = model(t)
+            y = model(t, *args)
     finally:
         torch.tensor = _orig_torch_tensor
         torch.sort = _orig_torch_sort
