@@ -123,6 +123,24 @@ class SRModel:
         """Un-jitted forward (for composition under an outer jit/shard_map)."""
         return self._apply_fn(self.config, params, x)
 
+    def cost(self, height: int, width: int, batch: int = 1) -> dict:
+        """Compiled-graph cost analysis for one forward at the given size.
+
+        The TPU-native replacement for the reference's hand-written
+        ``flops()`` estimators (e.g. resselt/archs/swinir/arch.py:1017-1024):
+        XLA reports the actual FLOPs/bytes of the optimized program."""
+        c = self.metadata.in_channels
+        shape = jax.ShapeDtypeStruct((batch, height, width, c), jnp.float32)
+        compiled = jax.jit(functools.partial(self._apply_fn, self.config)).lower(self.params, shape).compile()
+        (analysis,) = [a for a in [compiled.cost_analysis()] if a is not None] or [{}]
+        if isinstance(analysis, list):  # older jax returns a per-device list
+            analysis = analysis[0] if analysis else {}
+        return {
+            'flops': float(analysis.get('flops', -1.0)),
+            'bytes_accessed': float(analysis.get('bytes accessed', -1.0)),
+            'params': int(sum(int(np.prod(v.shape)) for v in self.params.values())),
+        }
+
     def __call__(self, x, dtype=None, precision: str | None = None) -> jax.Array:
         """Run the model on an NHWC (or HWC) image batch.
 

@@ -1,7 +1,7 @@
 from .mesh import batch_sharding, make_mesh, param_sharding, replicated, shard_params
 from .moe import init_moe_params, moe_apply_dense, moe_apply_ep, shard_moe_params
 from .pipeline import pipeline_apply, shard_stacked_params, stack_stages
-from .tiling import TileGrid, extract_tiles, plan_grid, stitch_tiles, upscale_tiled
+from .tiling import TileGrid, extract_tiles, plan_grid, stitch_tiles, upscale_padded, upscale_tiled
 
 __all__ = [
     'TileGrid',
@@ -20,5 +20,6 @@ __all__ = [
     'shard_stacked_params',
     'stack_stages',
     'stitch_tiles',
+    'upscale_padded',
     'upscale_tiled',
 ]

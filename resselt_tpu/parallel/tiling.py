@@ -95,6 +95,40 @@ def stitch_tiles(out_tiles, grid: TileGrid, scale: int):
     return canvas
 
 
+def upscale_padded(
+    model,
+    image,
+    multiple: int = 64,
+    dtype=None,
+    precision: str | None = None,
+):
+    """Serve variable-size images with one compilation per size *bucket*.
+
+    Pads (H, W) up to the next multiples of ``multiple`` (reflect; edge for
+    tiny images) and crops the output back, so all inputs in a bucket share
+    one jit specialization instead of recompiling per exact size — the XLA
+    analogue of serving-system shape bucketing.  Interior output is
+    identical to the unpadded run; pixels within the model's receptive
+    field of the pad seam can differ slightly from the model's own border
+    handling."""
+    image = jnp.asarray(image)
+    squeeze = image.ndim == 3
+    if squeeze:
+        image = image[None]
+    scale = model.metadata.upscale
+    if not isinstance(scale, int):
+        raise ValueError('upscale_padded requires an integer upscale factor')
+    _, h, w, _ = image.shape
+    ph = -h % multiple
+    pw = -w % multiple
+    if ph or pw:
+        mode = 'reflect' if (ph < h and pw < w) else 'edge'
+        image = jnp.pad(image, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
+    out = model(image, dtype=dtype, precision=precision)
+    out = out[:, : h * scale, : w * scale, :]
+    return out[0] if squeeze else out
+
+
 def upscale_tiled(
     model,
     image,

@@ -96,6 +96,40 @@ def test_graft_entry_and_dryrun():
     g.dryrun_multichip(min(8, len(jax.devices())))
 
 
+def test_upscale_padded_bucketing():
+    """Different sizes in one bucket share a jit entry; interior matches."""
+    from resselt_tpu.parallel import upscale_padded
+
+    model = _compact_model()
+    rng = np.random.default_rng(9)
+    img = rng.random((37, 45, 3), dtype=np.float32)
+    out = np.asarray(upscale_padded(model, img, multiple=32))
+    assert out.shape == (74, 90, 3)
+
+    whole = np.asarray(model(img))
+    # interior (away from the pad seam) must match the unpadded run
+    np.testing.assert_allclose(out[:60, :70], whole[:60, :70], atol=1e-5)
+
+    # a second size in the same bucket must NOT add a jit specialization
+    n_before = model._jitted._cache_size()
+    out2 = upscale_padded(model, rng.random((50, 40, 3), dtype=np.float32), multiple=32)
+    assert np.asarray(out2).shape == (100, 80, 3)
+    assert model._jitted._cache_size() == n_before
+
+    # tiny image: pad larger than the image falls back to edge mode
+    tiny = rng.random((5, 6, 3), dtype=np.float32)
+    out3 = np.asarray(upscale_padded(model, tiny, multiple=32))
+    assert out3.shape == (10, 12, 3)
+
+
+def test_model_cost_analysis():
+    model = _compact_model()
+    c = model.cost(32, 32)
+    assert c['params'] > 0
+    # conv FLOPs at 32x32 must dominate the param count
+    assert c['flops'] > 1e6
+
+
 def test_precision_argument():
     """precision='highest' must be accepted whole-image and tiled (on CPU
     both paths are exact; on TPU 'highest' forces full-f32 MXU passes —
