@@ -165,7 +165,10 @@ def upscale_tiled(
     n = tiles.shape[0]
 
     if batch_size is None:
-        batch_size = n
+        # 8 balances conv models (ESRGAN: B=8 is +27% vs B=1) against
+        # transformers (B>1 loses to VMEM pressure, see BENCHMARKS.md) and
+        # bounds activation memory on huge tile grids
+        batch_size = min(n, 8)
     if mesh is not None:
         dev = mesh.devices.size
         batch_size = max(dev, batch_size - batch_size % dev)

@@ -158,3 +158,33 @@ def ema_params(state: TrainState):
 def psnr(pred, target, max_val: float = 1.0):
     mse = jnp.mean(jnp.square(pred - target))
     return 10.0 * jnp.log10(max_val * max_val / jnp.maximum(mse, 1e-12))
+
+
+def save_train_state(state: TrainState, path: str) -> None:
+    """Checkpoint the FULL training state (params, optimizer, step, EMA)
+    with orbax, for exact resume.  The reference only reads checkpoints
+    (SURVEY.md §5 checkpoint/resume row); this is the write+resume side."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state._asdict(), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_train_state(path: str, template: TrainState) -> TrainState:
+    """Restore a training state saved by ``save_train_state``.
+
+    ``template`` (e.g. a freshly built state from the same model+optimizer)
+    supplies the tree structure, shapes, dtypes, and shardings."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        jax.tree.map(ocp.utils.to_shape_dtype_struct, template._asdict()),
+    )
+    return TrainState(**restored)

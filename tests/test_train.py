@@ -104,3 +104,41 @@ def test_train_step_with_buffer_donation():
     # donated state is consumed; the returned one keeps working
     s2, _ = step_donate(s2, lr, hr)
     assert int(s2.step) == 2
+
+
+def test_train_state_checkpoint_resume(tmp_path):
+    """Exact resume: save mid-training, restore, and the next step matches."""
+    model = _model()
+    opt = make_optimizer(lr=1e-3)
+    step = jax.jit(make_train_step(model._apply_fn, model.config, opt, ema_decay=0.9))
+
+    rng = np.random.default_rng(3)
+    hr = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+    lr = hr[:, ::2, ::2, :]
+
+    state = init_train_state(model.params, opt, ema=True)
+    for _ in range(3):
+        state, _ = step(state, lr, hr)
+
+    from resselt_tpu.train import load_train_state, save_train_state
+
+    ckpt = str(tmp_path / 'ckpt')
+    save_train_state(state, ckpt)
+
+    template = init_train_state(model.params, opt, ema=True)
+    restored = load_train_state(ckpt, template)
+    assert int(restored.step) == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored.params['body.0.weight']),
+        np.asarray(state.params['body.0.weight']),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema['body.0.weight']), np.asarray(state.ema['body.0.weight'])
+    )
+
+    s1, m1 = step(state, lr, hr)
+    s2, m2 = step(restored, lr, hr)
+    assert float(m1['loss']) == float(m2['loss'])
+    np.testing.assert_array_equal(
+        np.asarray(s1.params['body.0.weight']), np.asarray(s2.params['body.0.weight'])
+    )

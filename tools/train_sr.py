@@ -70,6 +70,8 @@ def main(argv=None) -> int:
     parser.add_argument('--loss', default='charbonnier', choices=['charbonnier', 'l1', 'l2'])
     parser.add_argument('--ema', type=float, default=0.0, help='EMA decay (0 disables; e.g. 0.999)')
     parser.add_argument('--save', default=None, help='write fine-tuned model cache (.npz)')
+    parser.add_argument('--checkpoint', default=None, help='orbax train-state dir for save/resume')
+    parser.add_argument('--checkpoint-every', type=int, default=0, help='save train state every N steps')
     parser.add_argument('--log-every', type=int, default=20)
     args = parser.parse_args(argv)
 
@@ -83,7 +85,8 @@ def main(argv=None) -> int:
     from resselt_tpu.cache import load_model, save_model
     from resselt_tpu.parallel.mesh import make_mesh, param_sharding
     from resselt_tpu.train import (
-        ema_params, init_train_state, make_lr_schedule, make_optimizer, make_train_step, psnr,
+        ema_params, init_train_state, load_train_state, make_lr_schedule,
+        make_optimizer, make_train_step, psnr, save_train_state,
     )
 
     if args.model.endswith('.npz'):
@@ -107,6 +110,11 @@ def main(argv=None) -> int:
     schedule = make_lr_schedule(args.lr, args.schedule, total_steps=args.steps, warmup_steps=args.warmup)
     optimizer = make_optimizer(lr=schedule)
     state = init_train_state(model.params, optimizer, ema=args.ema > 0)
+    start_step = 0
+    if args.checkpoint and os.path.isdir(args.checkpoint):
+        state = load_train_state(args.checkpoint, state)
+        start_step = int(state.step)
+        logger.info('resumed train state from %s at step %d', args.checkpoint, start_step)
     p_shard = param_sharding(mesh, state.params)
     state = state._replace(params={k: jax.device_put(v, p_shard[k]) for k, v in state.params.items()})
     step_fn = jax.jit(
@@ -125,7 +133,7 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     with mesh:
-        for step in range(1, args.steps + 1):
+        for step in range(start_step + 1, args.steps + 1):
             lr_np, hr_np = make_batch(rng, images, batch, args.crop, scale)
             lr_b = jax.device_put(jnp.asarray(lr_np), data_sharding)
             hr_b = jax.device_put(jnp.asarray(hr_np), data_sharding)
@@ -133,8 +141,15 @@ def main(argv=None) -> int:
             if step % args.log_every == 0 or step == args.steps:
                 loss = float(metrics['loss'])
                 gn = float(metrics['grad_norm'])
-                ips = step * batch / (time.perf_counter() - t0)
+                ips = (step - start_step) * batch / (time.perf_counter() - t0)
                 logger.info('step %d loss %.5f grad_norm %.3f (%.1f img/s)', step, loss, gn, ips)
+            if args.checkpoint and args.checkpoint_every and step % args.checkpoint_every == 0:
+                save_train_state(state, args.checkpoint)
+                logger.info('checkpointed train state at step %d -> %s', step, args.checkpoint)
+
+    if args.checkpoint:
+        save_train_state(state, args.checkpoint)
+        logger.info('checkpointed final train state -> %s', args.checkpoint)
 
     out_params = ema_params(state) if args.ema > 0 else state.params
     final_psnr = float(psnr(apply_jit(out_params, eval_lr), eval_hr))
