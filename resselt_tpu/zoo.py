@@ -145,9 +145,59 @@ def make_swinir(
     return m.sd
 
 
+def make_span(feature_channels: int = 48, upscale: int = 4, in_nc: int = 3, seed: int = 0):
+    """SPAN layout (reference span/arch.py:183-234): Conv3XC stem, six SPABs,
+    conv_cat/conv_2, pixelshuffle tail."""
+    m = _Maker(seed)
+    f = feature_channels
+    _conv3xc(m, 'conv_1', in_nc, f)
+    for b in range(1, 7):
+        for c in ('c1_r', 'c2_r', 'c3_r'):
+            _conv3xc(m, f'block_{b}.{c}', f, f)
+    m.conv('conv_cat', f, 4 * f, 1)
+    _conv3xc(m, 'conv_2', f, f)
+    m.conv('upsampler.0', in_nc * upscale * upscale, f, 3)
+    return m.sd
+
+
+def make_mosr(
+    dim: int = 48,
+    n_block: int = 4,
+    upscale: int = 2,
+    in_nc: int = 3,
+    expansion_ratio: float = 1.5,
+    conv_ratio: float = 1.0,
+    kernel_size: int = 7,
+    seed: int = 0,
+):
+    """MoSR layout, 'ps' upsampler (reference mosr/arch.py:108-156):
+    gblocks Sequential = stem conv + GatedCNNBlocks + 5-entry conv tail,
+    ConvBlock shortcut."""
+    m = _Maker(seed)
+    hidden = int(expansion_ratio * dim)
+    cc = int(conv_ratio * dim)
+    m.conv('gblocks.0', dim, in_nc, 3)
+    for i in range(1, n_block + 1):
+        m.t(f'gblocks.{i}.norm.weight', dim)
+        m.t(f'gblocks.{i}.norm.bias', dim)
+        m.conv(f'gblocks.{i}.fc1', hidden * 2, dim, 3)
+        m.conv(f'gblocks.{i}.conv', cc, 1, kernel_size)  # depthwise
+        m.conv(f'gblocks.{i}.fc2', dim, hidden, 3)
+    m.conv(f'gblocks.{n_block + 1}', dim * 2, dim, 3)
+    m.conv(f'gblocks.{n_block + 3}', dim, dim * 2, 3)
+    m.conv(f'gblocks.{n_block + 5}', dim, dim, 1)
+    m.conv('shortcut.block.0', dim, in_nc, 3)
+    m.conv('shortcut.block.2', dim, dim, 3)
+    m.conv('shortcut.conv11', dim, in_nc, 1)
+    m.conv('upsampler.0', in_nc * upscale * upscale, dim, 3)
+    return m.sd
+
+
 ZOO = {
     'compact': make_compact,
     'spanplus': make_spanplus,
     'esrgan': make_esrgan,
     'swinir': make_swinir,
+    'span': make_span,
+    'mosr': make_mosr,
 }

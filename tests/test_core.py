@@ -189,3 +189,53 @@ def test_detection_tolerates_junk_values():
     sd = {'some.key': 'a string', 'other': None, 'n': 3}
     with pytest.raises(ArchitectureNotFound):
         resselt_tpu.load_from_state_dict(sd)
+
+
+def test_user_registered_architecture():
+    """resselt_tpu.add() extends detection exactly like the reference's
+    registry (resselt/__init__.py:6-11)."""
+    import jax.numpy as jnp
+
+    import resselt_tpu
+    from resselt_tpu import Architecture, KeyCondition, ModelMetadata
+    from resselt_tpu.core.factory import SRModel
+
+    def _load(sd):
+        def apply(cfg, params, x):
+            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2) * params['my.gain']
+
+        meta = ModelMetadata(in_channels=3, out_channels=3, upscale=2, name='Doubler')
+        return SRModel('Doubler', None, {'my.gain': np.float32(2.0)}, meta, apply)
+
+    arch = Architecture(
+        id='Doubler',
+        detect_condition=KeyCondition.has_all('my.gain', 'my.marker'),
+        load_fn=_load,
+    )
+    resselt_tpu.add(arch)
+    try:
+        assert resselt_tpu.get('Doubler').id == 'Doubler'
+        sd = {'my.gain': np.float32(2.0), 'my.marker': np.zeros((1,), np.float32)}
+        model = resselt_tpu.load_from_state_dict(sd)
+        assert model.arch_id == 'Doubler'
+        y = np.asarray(model(np.ones((4, 4, 3), np.float32)))
+        assert y.shape == (8, 8, 3)
+        np.testing.assert_allclose(y, 2.0)
+    finally:
+        # keep the global registry clean for other tests
+        resselt_tpu.internal_registry.store.pop('Doubler', None)
+
+
+def test_load_from_file_errors(tmp_path):
+    import pytest
+
+    import resselt_tpu
+
+    with pytest.raises((FileNotFoundError, OSError)):
+        resselt_tpu.load_from_file(str(tmp_path / 'missing.pth'))
+
+    junk = tmp_path / 'junk.pth'
+    junk.write_bytes(b'this is not a checkpoint at all')
+    with pytest.raises(Exception) as ei:
+        resselt_tpu.load_from_file(str(junk))
+    assert not isinstance(ei.value, (SystemExit, KeyboardInterrupt))

@@ -13,9 +13,33 @@ def _compact_model():
 
 
 def test_zoo_checkpoints_detect():
+    expected = {
+        'compact': 'Compact', 'spanplus': 'spanplus', 'esrgan': 'ESRGAN',
+        'swinir': 'SwinIR', 'span': 'SPAN', 'mosr': 'MoSR',
+    }
     for name, builder in ZOO.items():
         model = resselt_tpu.load_from_state_dict(builder())
-        assert model.arch_id.lower().replace('plus', 'plus') != ''
+        assert model.arch_id == expected[name], (name, model.arch_id)
+
+
+def test_zoo_models_run():
+    """Every synthetic checkpoint must load AND produce a correctly-shaped
+    output (small configs where the default is big)."""
+    small = {
+        'compact': dict(num_feat=16, num_conv=2, upscale=2),
+        'spanplus': dict(feature_channels=16, blocks=(2,), upscale=2),
+        'esrgan': dict(num_filters=16, num_blocks=1, scale=4, gc=8),
+        'swinir': dict(embed_dim=16, depths=(1,), num_heads=(2,), window_size=8, upscale=2),
+        'span': dict(feature_channels=16, upscale=2),
+        'mosr': dict(dim=16, n_block=1, upscale=2),
+    }
+    img = np.random.default_rng(0).random((16, 16, 3), dtype=np.float32)
+    for name, builder in ZOO.items():
+        model = resselt_tpu.load_from_state_dict(builder(**small[name]))
+        s = model.metadata.upscale
+        y = np.asarray(model(img))
+        assert y.shape == (16 * s, 16 * s, 3), (name, y.shape)
+        assert np.isfinite(y).all(), name
 
 
 def test_tiled_matches_whole_image():
