@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Benchmark suite: every BASELINE.json config, measured on the TPU chip.
+
+    python tools/bench_suite.py [--quick] [--skip-baseline]
+
+Covers the five named configs (BASELINE.md):
+  1. SPANPlus 2x on a 256x256 tile
+  2. Compact + ESRGAN RRDBNet 4x (dense conv stacks)
+  3. PLKSR / MoSR 4x (large-kernel / gated conv)
+  4. SwinIR-M 4x (shifted-window attention)
+  5. ATD-light 4x, overlap-tiled FHD input (hybrid attention, tiled driver)
+
+TPU methodology: on-device dependency-chained fori_loop + scalar readback
+(block_until_ready does not sync through the tunnel; see bench.py).  The
+torch-CPU baseline runs the reference implementation per-MP at batch 1 and
+is cached in .bench_suite_baseline.json.  Writes bench_suite.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, '.bench_suite_baseline.json')
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _torch_models(quick: bool):
+    """Reference torch constructors per config (weights source + CPU baseline)."""
+    sys.path.insert(0, '/root/reference')
+    import torch
+
+    torch.set_grad_enabled(False)
+    torch.manual_seed(0)
+    from resselt.archs.atd.arch import ATD
+    from resselt.archs.compact.arch import SRVGGNetCompact
+    from resselt.archs.mosr.arch import mosr
+    from resselt.archs.plksr.plksr import plksr
+    from resselt.archs.spanplus.arch import SpanPlus
+    from resselt.archs.swinir.arch import SwinIR
+
+    cfgs = {
+        'spanplus 2x': dict(
+            model=lambda: SpanPlus(blocks=[4], feature_channels=48, upscale=2, upsampler='ps'),
+            scale=2, tile=256, batch=1,
+        ),
+        'compact 4x': dict(
+            model=lambda: SRVGGNetCompact(num_feat=64, num_conv=16, upscale=4),
+            scale=4, tile=256, batch=8,
+        ),
+        'plksr 4x': dict(
+            model=lambda: plksr(dim=64, n_blocks=28, upscaling_factor=4, kernel_size=17, split_ratio=0.25),
+            scale=4, tile=256, batch=8,
+        ),
+        'mosr 4x': dict(
+            model=lambda: mosr(in_ch=3, upscale=4, n_block=24, dim=64, upsampler='ps'),
+            scale=4, tile=256, batch=8,
+        ),
+        'swinir-m 4x': dict(
+            model=lambda: SwinIR(
+                img_size=64, embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
+                window_size=8, upsampler='pixelshuffle', upscale=4, img_range=1.0,
+            ),
+            scale=4, tile=128, batch=1,
+        ),
+        'atd-light 4x tiled-FHD': dict(
+            model=lambda: ATD(
+                embed_dim=48, depths=(6,) * 5, num_heads=(4,) * 5, window_size=16,
+                category_size=128, num_tokens=64, reducted_dim=8, convffn_kernel_size=7,
+                mlp_ratio=1, upsampler='pixelshuffledirect', upscale=4,
+            ),
+            scale=4, tile=192, batch=1, tiled_input=(544, 960) if quick else (1080, 1920),
+        ),
+    }
+    return cfgs
+
+
+def _sd_numpy(model):
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+def measure_tpu(model, tile: int, scale: int, batch: int, iters: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.default_rng(0).random((batch, tile, tile, 3), dtype=np.float32))
+    apply_fn = functools.partial(model._apply_fn, model.config)
+
+    @jax.jit
+    def loop(p, x0):
+        def body(_, carry):
+            y = apply_fn(p, carry)
+            return carry + 1e-6 * y[:, :tile, :tile, :]
+
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
+
+    float(loop(model.params, x))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(model.params, x))
+    dt = time.perf_counter() - t0
+    return (tile * scale) ** 2 * batch * iters / 1e6 / dt
+
+
+def measure_tpu_tiled(model, hw: tuple[int, int], tile: int, scale: int) -> float:
+    """End-to-end tiled-driver throughput on a large input (sync via the
+    host copy of the stitched output)."""
+    from resselt_tpu.parallel import upscale_tiled
+
+    img = np.random.default_rng(0).random((hw[0], hw[1], 3), dtype=np.float32)
+    np.asarray(upscale_tiled(model, img, tile=tile, halo=16))  # compile + warm
+    t0 = time.perf_counter()
+    out = np.asarray(upscale_tiled(model, img, tile=tile, halo=16))
+    dt = time.perf_counter() - t0
+    return out.shape[0] * out.shape[1] / 1e6 / dt
+
+
+def measure_torch_cpu(name: str, build, tile: int, scale: int) -> float:
+    cached = {}
+    if os.path.exists(CACHE):
+        try:
+            cached = json.load(open(CACHE))
+        except Exception:
+            cached = {}
+    key = f'{name}@{tile}'
+    if key in cached:
+        log(f'  torch-cpu (cached): {cached[key]:.3f} MP/s')
+        return cached[key]
+
+    import torch
+
+    m = build().eval()
+    t = min(tile, 128)  # keep CPU baselines tractable; per-MP rate is size-stable
+    x = torch.from_numpy(np.random.default_rng(0).random((1, 3, t, t), dtype=np.float32))
+    with torch.inference_mode():
+        m(x)
+        t0 = time.perf_counter()
+        m(x)
+        dt = time.perf_counter() - t0
+    mps = (t * scale) ** 2 / 1e6 / dt
+    cached[key] = mps
+    json.dump(cached, open(CACHE, 'w'))
+    log(f'  torch-cpu: {mps:.3f} MP/s')
+    return mps
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quick', action='store_true', help='smaller tiled input for the ATD row')
+    ap.add_argument('--skip-baseline', action='store_true')
+    ap.add_argument('--only', default=None, help='substring filter on config names')
+    args = ap.parse_args(argv)
+
+    import resselt_tpu
+
+    cfgs = _torch_models(args.quick)
+    rows = []
+    for name, c in cfgs.items():
+        if args.only and args.only not in name:
+            continue
+        log(f'== {name} ==')
+        tm = c['model']()
+        model = resselt_tpu.load_from_state_dict(_sd_numpy(tm))
+        log(f'  detected {model.arch_id}, {model.cost(c["tile"], c["tile"])["flops"] / 1e9:.1f} GFLOP @tile')
+        t0 = time.perf_counter()
+        if 'tiled_input' in c:
+            mps = measure_tpu_tiled(model, c['tiled_input'], c['tile'], c['scale'])
+        else:
+            mps = measure_tpu(model, c['tile'], c['scale'], c['batch'])
+        log(f'  tpu: {mps:.2f} MP/s (measured in {time.perf_counter() - t0:.0f}s)')
+        base = None
+        if not args.skip_baseline:
+            base = measure_torch_cpu(name, c['model'], c['tile'], c['scale'])
+        rows.append((name, c, mps, base))
+
+    lines = [
+        '# bench_suite results (BASELINE.json configs, TPU v5e chip)',
+        '',
+        '| config | tile/input | batch | TPU MP/s | torch-CPU MP/s | speedup |',
+        '|---|---|---|---|---|---|',
+    ]
+    for name, c, mps, base in rows:
+        size = f'{c["tiled_input"][1]}x{c["tiled_input"][0]} tiled {c["tile"]}' if 'tiled_input' in c else str(c['tile'])
+        sp = f'{mps / base:.0f}x' if base else '-'
+        bs = f'{base:.3f}' if base else '-'
+        lines.append(f'| {name} | {size} | {c["batch"]} | {mps:.2f} | {bs} | **{sp}** |')
+    out = '\n'.join(lines) + '\n'
+    open(os.path.join(REPO, 'bench_suite.md'), 'w').write(out)
+    print(out)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
