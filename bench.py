@@ -114,7 +114,17 @@ def measure_torch_cpu(sd) -> float:
     return mps
 
 
+def _enable_cache():
+    try:
+        from resselt_tpu.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+
 def main():
+    _enable_cache()
     sd = build_sd()
     tpu_mps = measure_tpu(sd)
     try:

@@ -35,6 +35,9 @@ def main(argv=None) -> int:
 
     import resselt_tpu
     from resselt_tpu.cache import save_model
+    from resselt_tpu.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     t0 = time.perf_counter()
     model = resselt_tpu.load_from_file(args.model)

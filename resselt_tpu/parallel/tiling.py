@@ -95,6 +95,10 @@ def stitch_tiles(out_tiles, grid: TileGrid, scale: int):
     return canvas
 
 
+_extract_tiles_jit = jax.jit(extract_tiles, static_argnums=1)
+_stitch_tiles_jit = jax.jit(stitch_tiles, static_argnums=(1, 2))
+
+
 def upscale_padded(
     model,
     image,
@@ -161,7 +165,10 @@ def upscale_tiled(
         window = tile + 2 * halo
 
     grid = plan_grid(h, w, tile, halo)
-    tiles = extract_tiles(image, grid)
+    # jitted extract/stitch: the Python loops trace once per grid; without
+    # this every dynamic_slice/update dispatches as its own device call,
+    # which dominates wall-clock through a remote-TPU tunnel
+    tiles = _extract_tiles_jit(image, grid)
     n = tiles.shape[0]
 
     if batch_size is None:
@@ -199,4 +206,4 @@ def upscale_tiled(
                 i + 1, i + out.shape[0], n, dt, mp / max(dt, 1e-9),
             )
     out_tiles = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
-    return stitch_tiles(out_tiles, grid, scale)
+    return _stitch_tiles_jit(out_tiles, grid, scale)

@@ -74,7 +74,12 @@ def main(argv=None) -> int:
 
     import jax
 
+    from resselt_tpu.compile_cache import enable_compilation_cache
     from resselt_tpu.parallel import upscale_tiled
+
+    cache_dir = enable_compilation_cache()
+    if cache_dir:
+        logger.debug('persistent compile cache: %s', cache_dir)
 
     t0 = time.perf_counter()
     model = load_model(args.model)

@@ -154,7 +154,17 @@ def measure_torch_cpu(name: str, build, tile: int, scale: int) -> float:
     return mps
 
 
+def _enable_cache():
+    try:
+        from resselt_tpu.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument('--quick', action='store_true', help='smaller tiled input for the ATD row')
     ap.add_argument('--skip-baseline', action='store_true')
@@ -195,7 +205,8 @@ def main(argv=None) -> int:
         bs = f'{base:.3f}' if base else '-'
         lines.append(f'| {name} | {size} | {c["batch"]} | {mps:.2f} | {bs} | **{sp}** |')
     out = '\n'.join(lines) + '\n'
-    open(os.path.join(REPO, 'bench_suite.md'), 'w').write(out)
+    if not args.only:  # partial runs must not clobber the full table
+        open(os.path.join(REPO, 'bench_suite.md'), 'w').write(out)
     print(out)
     return 0
 

@@ -79,6 +79,10 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
+
+    from resselt_tpu.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     import resselt_tpu
