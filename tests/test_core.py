@@ -239,3 +239,19 @@ def test_load_from_file_errors(tmp_path):
     with pytest.raises(Exception) as ei:
         resselt_tpu.load_from_file(str(junk))
     assert not isinstance(ei.value, (SystemExit, KeyboardInterrupt))
+
+
+def test_wrapped_and_prefixed_checkpoint_loads():
+    """Real-world checkpoints wrap weights under params_ema/params and/or a
+    DataParallel 'module.' prefix; detection must see through all of it
+    (reference resselt/utilities/state_dict.py:16-36)."""
+    import resselt_tpu
+    from resselt_tpu.zoo import make_span
+
+    inner = make_span(feature_channels=16, upscale=2)
+    for wrap in ('params_ema', 'params', 'state_dict', 'model'):
+        sd = {wrap: {f'module.{k}': v for k, v in inner.items()}}
+        model = resselt_tpu.load_from_state_dict(sd)
+        assert model.arch_id == 'SPAN', wrap
+        y = np.asarray(model(np.zeros((8, 8, 3), np.float32)))
+        assert y.shape == (16, 16, 3)
