@@ -28,9 +28,14 @@ IMAGE_EXTS = ('.png', '.jpg', '.jpeg', '.bmp', '.webp', '.tif', '.tiff')
 
 
 def load_image(path: str) -> np.ndarray:
+    """Load as float [0,1] HWC; RGBA stays 4-channel, everything else RGB."""
     from PIL import Image
 
-    img = Image.open(path).convert('RGB')
+    img = Image.open(path)
+    if img.mode in ('RGBA', 'LA', 'PA'):
+        img = img.convert('RGBA')
+    else:
+        img = img.convert('RGB')
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
@@ -38,7 +43,31 @@ def save_image(path: str, arr: np.ndarray) -> None:
     from PIL import Image
 
     arr = np.clip(np.asarray(arr), 0.0, 1.0)
-    Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(path)
+    arr = (arr * 255.0 + 0.5).astype(np.uint8)
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    Image.fromarray(arr).save(path)
+
+
+def adapt_channels(img: np.ndarray, c_in: int):
+    """Split an image into model-input planes for a ``c_in``-channel model.
+
+    Returns (main, alpha_or_None): RGBA images run their alpha through the
+    model as a separate replicated-gray pass (chaiNNer-style); grayscale
+    models get the ITU-R luma of color inputs."""
+    has_alpha = img.shape[-1] == 4
+    rgb = img[..., :3]
+    alpha = img[..., 3:4] if has_alpha else None
+    if c_in == 4:
+        if not has_alpha:
+            img = np.concatenate([rgb, np.ones_like(rgb[..., :1])], axis=-1)
+        return img, None
+    if c_in == 1:
+        luma = rgb @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        return luma[..., None], alpha
+    if c_in == 3:
+        return rgb, alpha
+    raise ValueError(f'cannot adapt a {img.shape[-1]}-channel image to a {c_in}-channel model')
 
 
 def load_model(path: str):
@@ -109,12 +138,22 @@ def main(argv=None) -> int:
 
         dtype = jnp.bfloat16
 
-    def run(img):
+    def run_plane(img):
         if args.tile and (img.shape[0] > args.tile or img.shape[1] > args.tile):
             return upscale_tiled(
                 model, img, tile=args.tile, halo=args.halo, dtype=dtype, precision=args.precision
             )
         return model(img, dtype=dtype, precision=args.precision)
+
+    def run(img):
+        main, alpha = adapt_channels(img, meta.in_channels)
+        out = np.asarray(run_plane(main))
+        if alpha is not None:
+            a3 = np.repeat(alpha, 3, axis=-1) if meta.in_channels == 3 else alpha
+            a_out = np.asarray(run_plane(a3))
+            a_out = a_out.mean(axis=-1, keepdims=True)
+            out = np.concatenate([out[..., :3] if out.shape[-1] >= 3 else np.repeat(out, 3, -1), a_out], axis=-1)
+        return out
 
     def run_all():
         total_mp = 0.0

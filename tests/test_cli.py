@@ -1,0 +1,76 @@
+"""CLI-level tests: channel adaptation (RGBA/grayscale), batch mode, convert."""
+
+import numpy as np
+import pytest
+
+import resselt_tpu
+from resselt_tpu.cache import save_model
+from resselt_tpu.upscale import adapt_channels, main as upscale_main
+from resselt_tpu.zoo import make_compact
+
+
+def _save_png(path, arr, mode=None):
+    from PIL import Image
+
+    Image.fromarray(arr, mode).save(path)
+
+
+def test_adapt_channels():
+    rgb = np.random.default_rng(0).random((6, 7, 3)).astype(np.float32)
+    rgba = np.concatenate([rgb, np.full((6, 7, 1), 0.5, np.float32)], axis=-1)
+
+    main, alpha = adapt_channels(rgb, 3)
+    assert main.shape == (6, 7, 3) and alpha is None
+
+    main, alpha = adapt_channels(rgba, 3)
+    assert main.shape == (6, 7, 3) and alpha.shape == (6, 7, 1)
+
+    main, alpha = adapt_channels(rgb, 1)
+    assert main.shape == (6, 7, 1) and alpha is None
+    np.testing.assert_allclose(main[..., 0], rgb @ np.asarray([0.299, 0.587, 0.114], np.float32), atol=1e-6)
+
+    main, alpha = adapt_channels(rgb, 4)
+    assert main.shape == (6, 7, 4) and alpha is None
+    np.testing.assert_allclose(main[..., 3], 1.0)
+
+    with pytest.raises(ValueError):
+        adapt_channels(rgb, 2)
+
+
+def test_cli_rgba_and_gray(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    model3 = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
+    save_model(model3, str(tmp_path / 'c3.npz'))
+    model1 = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2, in_nc=1))
+    save_model(model1, str(tmp_path / 'c1.npz'))
+
+    _save_png(str(tmp_path / 'rgba.png'), (rng.random((20, 24, 4)) * 255).astype('uint8'), 'RGBA')
+    _save_png(str(tmp_path / 'rgb.png'), (rng.random((20, 24, 3)) * 255).astype('uint8'))
+
+    assert upscale_main([str(tmp_path / 'c3.npz'), str(tmp_path / 'rgba.png'), str(tmp_path / 'o1.png')]) == 0
+    out = Image.open(tmp_path / 'o1.png')
+    assert out.mode == 'RGBA' and out.size == (48, 40)
+
+    assert upscale_main([str(tmp_path / 'c1.npz'), str(tmp_path / 'rgb.png'), str(tmp_path / 'o2.png')]) == 0
+    out = Image.open(tmp_path / 'o2.png')
+    assert out.mode == 'L' and out.size == (48, 40)
+
+
+def test_cli_batch_and_convert(tmp_path):
+    import os
+
+    from resselt_tpu.convert import main as convert_main
+
+    rng = np.random.default_rng(2)
+    model = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
+    save_model(model, str(tmp_path / 'm.npz'))
+
+    src = tmp_path / 'in'
+    src.mkdir()
+    for i in range(3):
+        _save_png(str(src / f'{i}.png'), (rng.random((12, 12, 3)) * 255).astype('uint8'))
+    dst = tmp_path / 'out'
+    assert upscale_main([str(tmp_path / 'm.npz'), str(src), str(dst)]) == 0
+    assert sorted(os.listdir(dst)) == ['0.png', '1.png', '2.png']
