@@ -177,3 +177,17 @@ def test_bf16_inference_close_to_f32():
     mse = np.mean((f32 - bf16) ** 2)
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 35, f'bf16 path too lossy: {psnr:.1f} dB'
+
+
+def test_tiled_transformer_seam_quality():
+    """Window-attention models see beyond any fixed halo, so tiled output is
+    an approximation; assert the seams stay below visible error."""
+    model = resselt_tpu.load_from_state_dict(
+        make_swinir(embed_dim=16, depths=(2,), num_heads=(2,), window_size=8, upscale=2)
+    )
+    img = np.random.default_rng(11).random((48, 48, 3), dtype=np.float32)
+    whole = np.asarray(model(img))
+    tiled = np.asarray(upscale_tiled(model, img, tile=16, halo=8))
+    mse = np.mean((whole - tiled) ** 2)
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 40, f'tiled transformer seams too visible: {psnr:.1f} dB'
