@@ -14,7 +14,15 @@ from resselt_tpu.archs import internal_registry
 from tests.torch_ref import state_dict_to_numpy
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _tiny_models():
+    return _build_tiny_models()
+
+
+def _build_tiny_models():
     """One small torch reference model per family -> expected arch id."""
     from resselt.archs.atd.arch import ATD
     from resselt.archs.compact.arch import SRVGGNetCompact
