@@ -1,3 +1,3 @@
-from .fused_conv import fused_conv3x3_act, pallas_conv_available
+from .fused_conv import fused_conv3x3_act, fused_conv3x3_pack2, pallas_conv_available
 
-__all__ = ['fused_conv3x3_act', 'pallas_conv_available']
+__all__ = ['fused_conv3x3_act', 'fused_conv3x3_pack2', 'pallas_conv_available']

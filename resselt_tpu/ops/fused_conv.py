@@ -22,12 +22,13 @@ each was isolated with a minimal bisection kernel on the live chip):
 The kernel computes, per row-tile, ``act(sum_9 shift(x) @ W_k + b)`` with
 all 9 taps as MXU matmuls over a VMEM-resident tile.
 
-Measured on the live v5e (256x256x64 -> 64, f32, lrelu): 0.67 ms/conv
-(7.2 useful TFLOPS) vs XLA's fused conv+lrelu at 0.74 ms (6.55) — ~10%
-faster.  Both are MXU-bound at the lane-PADDED size (64 -> 128 lanes
-quadruples the MXU work; the kernel runs that padded work at ~57 TFLOPS,
-near the chip's bf16 peak), so the old "XLA re-reads HBM 9x" hypothesis
-is dead: there is no large fusion win left at C=64.  See CLAUDE.md.
+Measured on the live v5e (256x256x64 -> 64, f32, lrelu, amortizing the
+~0.45 ms/iteration loop overhead of this backend — see CLAUDE.md):
+``fused_conv3x3_pack2`` 0.275 ms/conv (17.6 useful TFLOPS), XLA's fused
+conv+lrelu 0.289, ``fused_conv3x3_act`` 0.312.  The column-pair packed
+variant halves the MXU lane-padding waste and edges XLA by ~5%; XLA's
+conv is already far better than naive lane padding, so neither kernel is
+wired into model forwards — they are validated, opt-in ops.
 """
 
 from __future__ import annotations
@@ -55,28 +56,59 @@ def _act(acc, kind: str):
     raise ValueError(kind)
 
 
-def _kernel(x_hbm, w_ref, b_ref, o_ref, s0, sem, *, th: int, act: str, interpret: bool):
+def _kernel(x_hbm, w_ref, b_ref, o_ref, s0, s1, sem0, sem1, *, th: int, act: str, interpret: bool):
     i = pl.program_id(0)
     w_cols = o_ref.shape[1]
     cp = s0.shape[2]
+    n_steps = pl.num_programs(0)
+    slabs = (s0, s1)
+    sems = (sem0, sem1)
 
-    # one aligned DMA: rows [i*th, i*th + th + 8) of the padded input
-    dma = pltpu.make_async_copy(x_hbm.at[pl.ds(i * th, th + _ROW_OVERFETCH)], s0, sem)
-    dma.start()
-    dma.wait()
+    def copy(step, slot: int):
+        # one aligned DMA: rows [step*th, step*th + th + 8) of the padded input
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(step * th, th + _ROW_OVERFETCH)], slabs[slot], sems[slot]
+        )
+
+    # double-buffered pipeline: tile i+1's copy overlaps tile i's compute;
+    # the buffer slot alternates with grid-step parity (static branches)
+    @pl.when(i == 0)
+    def _prologue():
+        copy(0, 0).start()
+
+    even = i % 2 == 0
+
+    @pl.when(jnp.logical_and(i + 1 < n_steps, even))
+    def _prefetch_odd():
+        copy(i + 1, 1).start()
+
+    @pl.when(jnp.logical_and(i + 1 < n_steps, jnp.logical_not(even)))
+    def _prefetch_even():
+        copy(i + 1, 0).start()
+
+    @pl.when(even)
+    def _wait_even():
+        copy(i, 0).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _wait_odd():
+        copy(i, 1).wait()
+
+    cur = jax.lax.cond(even, lambda: s0[:, :, :], lambda: s1[:, :, :])
 
     acc = jnp.zeros((th * w_cols, o_ref.shape[2]), jnp.float32)
-    for di in range(3):
-        # outer-dim slice: conv-row shift inside VMEM (alignment-free)
-        slab = s0[di : di + th, :, :]
-        for dj in range(3):
-            if dj == 0:
-                rolled = slab
-            elif interpret:
-                rolled = jnp.roll(slab, -dj, axis=1)
-            else:
-                rolled = pltpu.roll(slab, slab.shape[1] - dj, axis=1)
-            xs = rolled[:, 0:w_cols, :].reshape(th * w_cols, cp)
+    full = cur
+    # roll ONCE per column shift (sublane rolls are the VPU bottleneck, not
+    # the MXU dots) and take the three row shifts as free outer-dim slices
+    for dj in range(3):
+        if dj == 0:
+            rolled_full = full
+        elif interpret:
+            rolled_full = jnp.roll(full, -dj, axis=1)
+        else:
+            rolled_full = pltpu.roll(full, full.shape[1] - dj, axis=1)
+        for di in range(3):
+            xs = rolled_full[di : di + th, 0:w_cols, :].reshape(th * w_cols, cp)
             acc += jax.lax.dot_general(
                 xs, w_ref[di * 3 + dj], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -93,6 +125,95 @@ def _pad_to(v: int, m: int) -> int:
 def pallas_conv_available(h: int, w: int, cin: int, cout: int) -> bool:
     """Shapes this kernel supports."""
     return cin <= 2 * _LANES and cout <= _LANES and w >= 128 and h >= 8
+
+
+def _pack2_weights(w_oihw, cin: int, cout: int):
+    """Taps for the column-pair packed layout (P=2).
+
+    Lane vector = [col0 channels, col1 channels] (64 each).  For output
+    sub-col ``b`` and input sub-col ``a`` of packed shift ``dp``, the
+    contributing kernel column is ``dj = 2*dp + a - b - 1`` when in
+    [0, 2].  Returns (9, 128, 128): [dr*3+dp, a*64+ci, b*64+co]."""
+    half = _LANES // 2
+    wk = jnp.zeros((9, _LANES, _LANES), jnp.float32)
+    for dr in range(3):
+        for dp in range(3):
+            for a in range(2):
+                for bb in range(2):
+                    dj = 2 * dp + a - bb - 1
+                    if 0 <= dj <= 2:
+                        blk = jnp.transpose(w_oihw[:, :, dr, dj], (1, 0)).astype(jnp.float32)
+                        wk = wk.at[
+                            dr * 3 + dp,
+                            a * half : a * half + cin,
+                            bb * half : bb * half + cout,
+                        ].set(blk)
+    return wk
+
+
+@functools.partial(jax.jit, static_argnames=('act', 'th', 'interpret'))
+def fused_conv3x3_pack2(x, w_oihw, b=None, act: str = 'linear', th: int = 16, interpret: bool = False):
+    """Column-pair packed fused 3x3 conv (+bias +activation), for C <= 64.
+
+    Packs two adjacent image columns into the 128 lanes so the MXU runs at
+    half the padded work of :func:`fused_conv3x3_act` (which pads C=64 up
+    to 128 lanes).  Same kernel body and Mosaic access pattern — only the
+    weight layout and the host-side (free) reshapes differ."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, cin = x.shape
+    cout = w_oihw.shape[0]
+    if cin > _LANES // 2 or cout > _LANES // 2:
+        raise ValueError('pack2 kernel requires cin, cout <= 64')
+    if w % 2:
+        raise ValueError('pack2 kernel requires even width')
+    half = _LANES // 2
+    hp = _pad_to(h, th)
+
+    wk = _pack2_weights(w_oihw, cin, cout)
+    bp = jnp.zeros((_LANES,), jnp.float32)
+    if b is not None:
+        bb = b.astype(jnp.float32)
+        bp = bp.at[:cout].set(bb).at[half : half + cout].set(bb)
+
+    # packed output cols, padded to x8; input packed cols: 1 halo col on the
+    # left (2 absolute cols) + enough slack on the right for dp up to 2
+    wp = _pad_to(w // 2, 8)
+    wp_in = _pad_to(wp + 2, 8)
+    xp = jnp.pad(
+        x.astype(jnp.float32),
+        ((0, 0), (1, hp - h + _ROW_OVERFETCH - 1), (2, 2 * wp_in - w - 2), (0, half - cin)),
+    )
+    # (N, rows, abs cols, 64) -> (N, rows, packed cols, 128): pure reshape
+    xp = xp.reshape(n, hp + _ROW_OVERFETCH, wp_in, _LANES)
+
+    kern = functools.partial(_kernel, th=th, act=act, interpret=interpret)
+
+    def one(xi):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((hp, wp, _LANES), jnp.float32),
+            grid=(hp // th,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM if not interpret else pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((th, wp, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((th + _ROW_OVERFETCH, wp_in, _LANES), jnp.float32),
+                pltpu.VMEM((th + _ROW_OVERFETCH, wp_in, _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(xi, wk, bp)
+
+    out = jax.vmap(one)(xp)
+    # (N, hp, wp, 128) -> unpack column pairs -> crop
+    out = out[:, :h, : w // 2, :].reshape(n, h, w, half)[..., :cout]
+    return out[0] if squeeze else out
 
 
 @functools.partial(jax.jit, static_argnames=('act', 'th', 'interpret'))
@@ -142,6 +263,8 @@ def fused_conv3x3_act(x, w_oihw, b=None, act: str = 'linear', th: int = 16, inte
             out_specs=pl.BlockSpec((th, wp, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((th + _ROW_OVERFETCH, wp_in, cp), jnp.float32),
+                pltpu.VMEM((th + _ROW_OVERFETCH, wp_in, cp), jnp.float32),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,

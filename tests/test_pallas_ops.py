@@ -32,3 +32,36 @@ def test_fused_conv3x3_batched():
     want = np.asarray(F.conv2d(x, wt, None, padding=1))
     got = np.asarray(fused_conv3x3_act(x, wt, None, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('act', ['linear', 'lrelu', 'mish'])
+@pytest.mark.parametrize('shape', [(32, 128, 64, 64), (24, 130, 48, 32), (17, 128, 3, 64), (8, 256, 64, 16)])
+def test_fused_conv3x3_pack2(act, shape):
+    from resselt_tpu.ops.fused_conv import fused_conv3x3_pack2
+
+    h, w, cin, cout = shape
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((h, w, cin)).astype(np.float32)
+    wt = (rng.standard_normal((cout, cin, 3, 3)) * 0.05).astype(np.float32)
+    b = rng.standard_normal(cout).astype(np.float32)
+
+    want = F.conv2d(x[None], wt, b, padding=1)[0]
+    fns = {'linear': lambda t: t, 'lrelu': lambda t: F.leaky_relu(t, 0.2), 'mish': F.mish}
+    want = np.asarray(fns[act](want))
+
+    got = np.asarray(fused_conv3x3_pack2(x, wt, b, act=act, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_conv3x3_pack2_rejects_bad_shapes():
+    from resselt_tpu.ops.fused_conv import fused_conv3x3_pack2
+
+    x = np.zeros((8, 128, 96), np.float32)
+    wt = np.zeros((96, 96, 3, 3), np.float32)
+    with pytest.raises(ValueError):
+        fused_conv3x3_pack2(x, wt, interpret=True)
+    x = np.zeros((8, 127, 32), np.float32)
+    wt = np.zeros((32, 32, 3, 3), np.float32)
+    with pytest.raises(ValueError):
+        fused_conv3x3_pack2(x, wt, interpret=True)
