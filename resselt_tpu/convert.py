@@ -1,12 +1,16 @@
 """Checkpoint pre-conversion CLI.
 
-    python -m resselt_tpu.convert MODEL OUT.npz
+    python -m resselt_tpu.convert MODEL OUT.npz           # fast-startup cache
+    python -m resselt_tpu.convert MODEL OUT.safetensors   # torch-ecosystem export
 
-Detects the architecture, runs all load-time weight transforms (key
-remapping, reparameterization collapse, config inference) once, and writes
-the ready-to-run JAX model to a ``.npz`` cache (see ``resselt_tpu.cache``).
-Loading the cache skips torch-pickle parsing and all load-time transforms —
-useful for serving fleets where startup latency matters.
+``.npz``: detects the architecture, runs all load-time weight transforms
+(key remapping, reparameterization collapse, config inference) once, and
+writes the ready-to-run JAX model (see ``resselt_tpu.cache``); loading it
+skips torch-pickle parsing and all transforms.
+
+``.safetensors``: writes the loaded weights in the standard safetensors
+format, readable by torch/chaiNNer tooling and by our own detection —
+also the safe way to defuse an untrusted ``.pth``.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ logger = logging.getLogger('resselt_tpu')
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description='Convert a checkpoint to a resselt_tpu .npz cache.')
     parser.add_argument('model', help='checkpoint file (.pth/.pt/.ckpt/.safetensors)')
-    parser.add_argument('output', help='output cache path (.npz)')
+    parser.add_argument('output', help='output path (.npz cache or .safetensors export)')
     parser.add_argument('-v', '--verbose', action='store_true')
     args = parser.parse_args(argv)
 
@@ -30,12 +34,13 @@ def main(argv=None) -> int:
         level=logging.DEBUG if args.verbose else logging.INFO,
         format='%(asctime)s %(name)s %(levelname)s %(message)s',
     )
-    if not args.output.endswith('.npz'):
-        parser.error('output must end in .npz')
+    if not args.output.endswith(('.npz', '.safetensors')):
+        parser.error('output must end in .npz or .safetensors')
 
     import resselt_tpu
     from resselt_tpu.cache import save_model
     from resselt_tpu.compile_cache import enable_compilation_cache
+    from resselt_tpu.io import write_safetensors
 
     enable_compilation_cache()
 
@@ -47,7 +52,10 @@ def main(argv=None) -> int:
         model.arch_id, meta.name, meta.upscale, meta.in_channels, meta.out_channels,
         time.perf_counter() - t0,
     )
-    save_model(model, args.output)
+    if args.output.endswith('.safetensors'):
+        write_safetensors(model.params, args.output, metadata={'arch': model.arch_id, 'name': meta.name})
+    else:
+        save_model(model, args.output)
     logger.info('wrote %s', args.output)
     return 0
 

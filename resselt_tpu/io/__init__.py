@@ -12,10 +12,10 @@ from typing import Any, Mapping
 
 import numpy as np
 
-from .safetensors_io import read_safetensors
+from .safetensors_io import read_safetensors, write_safetensors
 from .torch_pickle import UnsafeCheckpointError, read_torch_checkpoint
 
-__all__ = ['load_state_dict_from_file', 'read_safetensors', 'read_torch_checkpoint', 'UnsafeCheckpointError']
+__all__ = ['load_state_dict_from_file', 'read_safetensors', 'write_safetensors', 'read_torch_checkpoint', 'UnsafeCheckpointError']
 
 
 def _is_torchscript(path: str) -> bool:

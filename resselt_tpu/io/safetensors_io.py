@@ -39,6 +39,41 @@ if _BF16 is not None:
     _DTYPES['F8_E5M2'] = _F8_E5M2
 
 
+def write_safetensors(state_dict, path: str, metadata: dict | None = None) -> None:
+    """Write a numpy/jax state dict as a .safetensors file.
+
+    Interop back to the torch ecosystem: a model fine-tuned here can be
+    saved and re-loaded by torch safetensors readers (and by our own
+    detection, since all original keys are preserved at load)."""
+    names = {v: k for k, v in _DTYPES.items()}
+    header: dict = {}
+    blobs: list[bytes] = []
+    offset = 0
+    for key, value in state_dict.items():
+        arr = np.ascontiguousarray(np.asarray(value))
+        if arr.dtype.byteorder == '>':
+            arr = arr.astype(arr.dtype.newbyteorder('<'))
+        dt = names.get(arr.dtype)
+        if dt is None:
+            # normalize unsupported dtypes (e.g. int bool variants) to f32
+            arr = arr.astype(np.float32)
+            dt = 'F32'
+        blob = arr.tobytes()
+        header[key] = {'dtype': dt, 'shape': list(arr.shape), 'data_offsets': [offset, offset + len(blob)]}
+        offset += len(blob)
+        blobs.append(blob)
+    if metadata:
+        header['__metadata__'] = {str(k): str(v) for k, v in metadata.items()}
+    hj = json.dumps(header).encode()
+    pad = (-len(hj)) % 8
+    hj += b' ' * pad
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<Q', len(hj)))
+        f.write(hj)
+        for blob in blobs:
+            f.write(blob)
+
+
 def read_safetensors(path: str) -> dict[str, np.ndarray]:
     with open(path, 'rb') as f:
         (header_len,) = struct.unpack('<Q', f.read(8))

@@ -74,3 +74,45 @@ def test_cli_batch_and_convert(tmp_path):
     dst = tmp_path / 'out'
     assert upscale_main([str(tmp_path / 'm.npz'), str(src), str(dst)]) == 0
     assert sorted(os.listdir(dst)) == ['0.png', '1.png', '2.png']
+
+
+def test_safetensors_writer_roundtrip(tmp_path):
+    """write_safetensors output must be readable by our reader, by the
+    official safetensors library, and re-detectable end-to-end."""
+    import jax.numpy as jnp
+
+    from resselt_tpu.convert import main as convert_main
+    from resselt_tpu.io import read_safetensors, write_safetensors
+
+    sd = {
+        'a.weight': np.random.default_rng(0).standard_normal((4, 3, 3, 3)).astype(np.float32),
+        'a.bias': np.arange(4, dtype=np.float32),
+        'marker': np.zeros((1,), np.uint8),
+        'jaxval': jnp.ones((2, 2), jnp.float32) * 3,
+        'bf16': jnp.ones((2,), jnp.bfloat16) * 1.5,
+    }
+    p = str(tmp_path / 'w.safetensors')
+    write_safetensors(sd, p, metadata={'k': 'v'})
+
+    back = read_safetensors(p)
+    for k in sd:
+        np.testing.assert_array_equal(np.asarray(back[k], np.float32), np.asarray(sd[k], np.float32))
+
+    from safetensors import safe_open
+
+    with safe_open(p, framework='np') as f:
+        assert f.metadata() == {'k': 'v'}
+        np.testing.assert_array_equal(f.get_tensor('a.bias'), sd['a.bias'])
+
+    # end-to-end: convert a detected model to safetensors, reload, same output
+    model = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
+    import torch
+
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in make_compact(num_feat=16, num_conv=2, upscale=2).items()},
+               str(tmp_path / 'm.pth'))
+    out_st = str(tmp_path / 'm.safetensors')
+    assert convert_main([str(tmp_path / 'm.pth'), out_st]) == 0
+    model2 = resselt_tpu.load_from_file(out_st)
+    assert model2.arch_id == 'Compact'
+    x = np.random.default_rng(3).random((12, 12, 3), dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(model(x)), np.asarray(model2(x)), atol=1e-6)

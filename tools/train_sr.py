@@ -162,7 +162,12 @@ def main(argv=None) -> int:
 
     if args.save:
         model.params = out_params
-        save_model(model, args.save)
+        if args.save.endswith('.safetensors'):
+            from resselt_tpu.io import write_safetensors
+
+            write_safetensors(out_params, args.save, metadata={'arch': model.arch_id})
+        else:
+            save_model(model, args.save)
         logger.info('saved fine-tuned model to %s', args.save)
     return 0
 
