@@ -116,3 +116,18 @@ def test_safetensors_writer_roundtrip(tmp_path):
     assert model2.arch_id == 'Compact'
     x = np.random.default_rng(3).random((12, 12, 3), dtype=np.float32)
     np.testing.assert_allclose(np.asarray(model(x)), np.asarray(model2(x)), atol=1e-6)
+
+
+def test_inspect_cli(tmp_path, capsys):
+    import json as _json
+
+    from resselt_tpu.inspect import main as inspect_main
+
+    model = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
+    save_model(model, str(tmp_path / 'm.npz'))
+    assert inspect_main([str(tmp_path / 'm.npz'), '--size', '32', '32', '--json']) == 0
+    info = _json.loads(capsys.readouterr().out.strip())
+    assert info['arch'] == 'Compact'
+    assert info['upscale'] == 2
+    assert info['params'] > 0
+    assert info['cost_at_size']['gflops'] > 0
