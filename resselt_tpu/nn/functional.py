@@ -12,9 +12,6 @@ Conventions:
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

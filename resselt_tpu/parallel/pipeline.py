@@ -14,7 +14,6 @@ Constraints (by design, to stay XLA-friendly):
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

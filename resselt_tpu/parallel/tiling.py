@@ -16,7 +16,6 @@ field fits inside the halo.
 from __future__ import annotations
 
 import logging
-import math
 import time
 from dataclasses import dataclass
 
