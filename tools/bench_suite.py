@@ -45,6 +45,8 @@ def _torch_models(quick: bool):
     torch.manual_seed(0)
     from resselt.archs.atd.arch import ATD
     from resselt.archs.compact.arch import SRVGGNetCompact
+    from resselt.archs.dat.arch import DAT
+    from resselt.archs.hat.arch import HAT
     from resselt.archs.mosr.arch import mosr
     from resselt.archs.plksr.plksr import plksr
     from resselt.archs.spanplus.arch import SpanPlus
@@ -73,6 +75,22 @@ def _torch_models(quick: bool):
                 window_size=8, upsampler='pixelshuffle', upscale=4, img_range=1.0,
             ),
             scale=4, tile=128, batch=1,
+        ),
+        'hat-s 4x tiled-HD': dict(
+            model=lambda: HAT(
+                img_size=64, embed_dim=144, depths=(6,) * 6, num_heads=(6,) * 6,
+                window_size=16, compress_ratio=24, squeeze_factor=24, mlp_ratio=2.0,
+                upsampler='pixelshuffle', upscale=4,
+            ),
+            scale=4, tile=128, batch=1, tiled_input=(480, 640) if quick else (720, 1280),
+        ),
+        'dat-s 4x tiled-HD': dict(
+            model=lambda: DAT(
+                img_size=64, embed_dim=180, split_size=[8, 16], depth=[6] * 6,
+                num_heads=[6] * 6, expansion_factor=2.0, upscale=4,
+                upsampler='pixelshuffle', resi_connection='1conv',
+            ),
+            scale=4, tile=128, batch=1, tiled_input=(480, 640) if quick else (720, 1280),
         ),
         'atd-light 4x tiled-FHD': dict(
             model=lambda: ATD(
