@@ -41,22 +41,6 @@ def load_images(image_dir: str, min_size: int) -> list[np.ndarray]:
     return out
 
 
-def make_batch(rng: np.random.Generator, images: list[np.ndarray], batch: int, crop: int, scale: int):
-    hr = np.empty((batch, crop, crop, 3), np.float32)
-    for i in range(batch):
-        img = images[rng.integers(len(images))]
-        y = rng.integers(img.shape[0] - crop + 1)
-        x = rng.integers(img.shape[1] - crop + 1)
-        patch = img[y : y + crop, x : x + crop]
-        if rng.random() < 0.5:
-            patch = patch[:, ::-1]
-        if rng.random() < 0.5:
-            patch = patch[::-1]
-        hr[i] = patch
-    lr = hr.reshape(batch, crop // scale, scale, crop // scale, scale, 3).mean(axis=(2, 4))
-    return lr, hr
-
-
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument('model', help='checkpoint (.pth/.safetensors/...) or cached .npz')
@@ -73,6 +57,8 @@ def main(argv=None) -> int:
     parser.add_argument('--checkpoint', default=None, help='orbax train-state dir for save/resume')
     parser.add_argument('--checkpoint-every', type=int, default=0, help='save train state every N steps')
     parser.add_argument('--log-every', type=int, default=20)
+    parser.add_argument('--loader', default='auto', choices=['auto', 'native', 'numpy'],
+                        help='batch sampler backend (native = threaded C++ via ctypes)')
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format='%(asctime)s %(levelname)s %(message)s')
@@ -102,8 +88,12 @@ def main(argv=None) -> int:
         scale = 2
     logger.info('model %s (%s), scale %s', model.arch_id, model.metadata.name, scale)
 
+    from resselt_tpu.data import CropSampler, Prefetcher
+
     images = load_images(args.images, args.crop)
-    logger.info('%d training images', len(images))
+    images_u8 = [(im * 255.0 + 0.5).astype(np.uint8) for im in images]
+    sampler = CropSampler(images_u8, crop=args.crop, scale=scale, seed=0, backend=args.loader)
+    logger.info('%d training images (%s sampler)', len(images), sampler.backend)
 
     n_dev = len(jax.devices())
     batch = max(args.batch - args.batch % n_dev, n_dev)
@@ -126,8 +116,7 @@ def main(argv=None) -> int:
         donate_argnums=(0,),
     )
 
-    rng = np.random.default_rng(0)
-    eval_lr, eval_hr = make_batch(rng, images, batch, args.crop, scale)
+    eval_lr, eval_hr = sampler.next_batch(batch)
     eval_lr = jax.device_put(jnp.asarray(eval_lr), data_sharding)
     eval_hr = jax.device_put(jnp.asarray(eval_hr), data_sharding)
 
@@ -136,20 +125,24 @@ def main(argv=None) -> int:
     logger.info('initial eval PSNR %.2f dB', base_psnr)
 
     t0 = time.perf_counter()
-    with mesh:
-        for step in range(start_step + 1, args.steps + 1):
-            lr_np, hr_np = make_batch(rng, images, batch, args.crop, scale)
-            lr_b = jax.device_put(jnp.asarray(lr_np), data_sharding)
-            hr_b = jax.device_put(jnp.asarray(hr_np), data_sharding)
-            state, metrics = step_fn(state, lr_b, hr_b)
-            if step % args.log_every == 0 or step == args.steps:
-                loss = float(metrics['loss'])
-                gn = float(metrics['grad_norm'])
-                ips = (step - start_step) * batch / (time.perf_counter() - t0)
-                logger.info('step %d loss %.5f grad_norm %.3f (%.1f img/s)', step, loss, gn, ips)
-            if args.checkpoint and args.checkpoint_every and step % args.checkpoint_every == 0:
-                save_train_state(state, args.checkpoint)
-                logger.info('checkpointed train state at step %d -> %s', step, args.checkpoint)
+    prefetch = Prefetcher(sampler, batch)
+    try:
+        with mesh:
+            for step in range(start_step + 1, args.steps + 1):
+                lr_np, hr_np = prefetch.next()
+                lr_b = jax.device_put(jnp.asarray(lr_np), data_sharding)
+                hr_b = jax.device_put(jnp.asarray(hr_np), data_sharding)
+                state, metrics = step_fn(state, lr_b, hr_b)
+                if step % args.log_every == 0 or step == args.steps:
+                    loss = float(metrics['loss'])
+                    gn = float(metrics['grad_norm'])
+                    ips = (step - start_step) * batch / (time.perf_counter() - t0)
+                    logger.info('step %d loss %.5f grad_norm %.3f (%.1f img/s)', step, loss, gn, ips)
+                if args.checkpoint and args.checkpoint_every and step % args.checkpoint_every == 0:
+                    save_train_state(state, args.checkpoint)
+                    logger.info('checkpointed train state at step %d -> %s', step, args.checkpoint)
+    finally:
+        prefetch.close()
 
     if args.checkpoint:
         save_train_state(state, args.checkpoint)
