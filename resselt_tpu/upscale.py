@@ -42,8 +42,9 @@ def load_image(path: str) -> np.ndarray:
 def save_image(path: str, arr: np.ndarray) -> None:
     from PIL import Image
 
-    arr = np.clip(np.asarray(arr), 0.0, 1.0)
-    arr = (arr * 255.0 + 0.5).astype(np.uint8)
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]
     Image.fromarray(arr).save(path)
@@ -146,14 +147,19 @@ def main(argv=None) -> int:
         return model(img, dtype=dtype, precision=args.precision)
 
     def run(img):
+        import jax.numpy as jnp
+
         main, alpha = adapt_channels(img, meta.in_channels)
-        out = np.asarray(run_plane(main))
+        out = run_plane(main)
         if alpha is not None:
             a3 = np.repeat(alpha, 3, axis=-1) if meta.in_channels == 3 else alpha
-            a_out = np.asarray(run_plane(a3))
-            a_out = a_out.mean(axis=-1, keepdims=True)
-            out = np.concatenate([out[..., :3] if out.shape[-1] >= 3 else np.repeat(out, 3, -1), a_out], axis=-1)
-        return out
+            a_out = jnp.mean(run_plane(a3), axis=-1, keepdims=True)
+            rgb = out[..., :3] if out.shape[-1] >= 3 else jnp.repeat(out, 3, axis=-1)
+            out = jnp.concatenate([rgb, a_out], axis=-1)
+        # quantize ON DEVICE: the uint8 transfer is 4x smaller than f32
+        # (device->host moves dominate large outputs, esp. through a tunnel)
+        q = jnp.clip(out.astype(jnp.float32) * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+        return np.asarray(q)
 
     def run_all():
         total_mp = 0.0
@@ -168,7 +174,7 @@ def main(argv=None) -> int:
             total_mp += mp
             logger.info('upscaled to %dx%d in %.2fs (%.2f MP out, incl. compile)',
                         out.shape[1], out.shape[0], dt, mp)
-            save_image(dst, out.astype(np.float32))
+            save_image(dst, out)
             logger.info('wrote %s', dst)
         if len(pairs) > 1:
             dt = time.perf_counter() - t1
