@@ -60,8 +60,15 @@ def load_model(path: str) -> SRModel:
     if header['format_version'] != _FORMAT_VERSION:
         raise ValueError(f'Unsupported cache format version {header["format_version"]}')
 
-    module = importlib.import_module(header['config_module'])
+    # A hostile cache file must not be able to import arbitrary modules
+    # (import alone executes code): only registered arch modules qualify.
+    mod_name = header['config_module']
+    if not isinstance(mod_name, str) or not mod_name.startswith('resselt_tpu.archs.'):
+        raise ValueError(f'Cache header names a non-architecture module: {mod_name!r}')
+    module = importlib.import_module(mod_name)
     cfg_cls = getattr(module, header['config_class'])
+    if not (dataclasses.is_dataclass(cfg_cls) and callable(getattr(module, 'apply', None))):
+        raise ValueError(f'{mod_name}.{header["config_class"]} is not an architecture config')
     cfg = cfg_cls(**_restore_tuples(cfg_cls, header['config']))
 
     params = {k: data[k] for k in data.files if k != '__header__'}

@@ -34,12 +34,19 @@ def _build_native() -> 'ctypes.CDLL | None':
     os.makedirs(_SO_CACHE, exist_ok=True)
     so = os.path.join(_SO_CACHE, 'libsampler.so')
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-o', so + '.tmp', src, '-lpthread']
+        # per-process temp name: concurrent first-use builds must not race on
+        # a shared .tmp path (os.replace of a partially written .so)
+        tmp = os.path.join(_SO_CACHE, f'.libsampler.{os.getpid()}.tmp')
+        cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-o', tmp, src, '-lpthread']
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(so + '.tmp', so)
+            os.replace(tmp, so)
         except Exception as e:  # g++ missing or failed: numpy fallback
             logger.debug('native sampler build failed (%s); using numpy fallback', e)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             return None
     try:
         lib = ctypes.CDLL(so)

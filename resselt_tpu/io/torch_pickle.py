@@ -91,8 +91,26 @@ class _LazyTensor:
         if buf is None:
             raise ValueError('Storage data never deserialized')
         dtype = self.storage.dtype
+        # Checkpoint-controlled view geometry must stay inside the storage
+        # buffer (torch's loader enforces the same invariant); otherwise
+        # as_strided would read adjacent process memory.
+        if self.offset < 0 or any(st < 0 for st in self.stride) or any(s < 0 for s in self.size):
+            raise UnsafeCheckpointError(
+                f'Tensor view with negative offset/size/stride: '
+                f'offset={self.offset} size={self.size} stride={self.stride}'
+            )
         if len(self.size) == 0:
+            if self.offset >= buf.size:
+                raise UnsafeCheckpointError(f'Scalar offset {self.offset} outside storage of {buf.size} elements')
             return buf[self.offset].copy().reshape(())
+        if any(s == 0 for s in self.size):
+            return np.empty(self.size, dtype=dtype)
+        needed = self.offset + 1 + sum((s - 1) * st for s, st in zip(self.size, self.stride))
+        if needed > buf.size:
+            raise UnsafeCheckpointError(
+                f'Tensor view needs {needed} elements but storage holds {buf.size} '
+                f'(offset={self.offset} size={self.size} stride={self.stride})'
+            )
         strides = tuple(s * dtype.itemsize for s in self.stride)
         view = np.lib.stride_tricks.as_strided(buf[self.offset :], shape=self.size, strides=strides)
         return np.ascontiguousarray(view)

@@ -159,8 +159,12 @@ def upscale_tiled(
     if h <= window and w <= window:
         return model(image, dtype=dtype, precision=precision)
     if h < window or w < window:
-        # one dimension smaller than a window: single strip, no tiling there
-        tile = max(1, min(h, w) - 2 * halo)
+        # one dimension smaller than a window: single strip, no tiling there.
+        # Shrink the halo too when the short dim is tiny, else the window
+        # would still exceed it (dynamic_slice requires window <= dim).
+        short = min(h, w)
+        halo = min(halo, max(0, (short - 1) // 2))
+        tile = max(1, short - 2 * halo)
         window = tile + 2 * halo
 
     grid = plan_grid(h, w, tile, halo)

@@ -59,6 +59,82 @@ def test_evil_pickle_rejected(tmp_path):
         read_torch_checkpoint(str(p))
 
 
+def _evil_view_checkpoint(path, offset, size, stride, numel=1):
+    """Zip checkpoint whose tensor view geometry exceeds its storage."""
+    import collections
+    import io
+    import zipfile
+
+    store = object()
+
+    class _P(pickle.Pickler):
+        def persistent_id(self, obj):
+            if obj is store:
+                return ('storage', torch.FloatStorage, '0', 'cpu', numel)
+            return None
+
+    class _EvilTensor:
+        def __reduce__(self):
+            return (
+                torch._utils._rebuild_tensor_v2,
+                (store, offset, size, stride, False, collections.OrderedDict()),
+            )
+
+    buf = io.BytesIO()
+    _P(buf, protocol=2).dump({'w': _EvilTensor()})
+    with zipfile.ZipFile(path, 'w') as zf:
+        zf.writestr('archive/data.pkl', buf.getvalue())
+        zf.writestr('archive/data/0', b'\x00\x00\x80?' * numel)
+
+
+@pytest.mark.parametrize(
+    'offset,size,stride',
+    [
+        (0, (100000,), (1,)),  # view far beyond the 1-element storage
+        (1, (2,), (-1,)),  # negative stride reads before the buffer
+        (-4, (1,), (1,)),  # negative offset
+        (0, (2, 2), (4, 1)),  # 2-d overrun (needs 8 elements, has 4)
+        (4, (), ()),  # scalar offset outside storage
+    ],
+)
+def test_out_of_bounds_view_rejected(tmp_path, offset, size, stride):
+    p = tmp_path / 'oob.pth'
+    _evil_view_checkpoint(str(p), offset, size, stride, numel=4)
+    with pytest.raises(UnsafeCheckpointError):
+        read_torch_checkpoint(str(p))
+
+
+def test_in_bounds_view_accepted(tmp_path):
+    p = tmp_path / 'ok.pth'
+    _evil_view_checkpoint(str(p), 1, (3,), (1,), numel=4)
+    out = read_torch_checkpoint(str(p))
+    assert out['w'].shape == (3,)
+
+
+def test_cache_rejects_foreign_module(tmp_path):
+    import json
+
+    import numpy as np
+
+    import resselt_tpu
+    from resselt_tpu.cache import load_model, save_model
+    from resselt_tpu.zoo import make_spanplus
+
+    model = resselt_tpu.load_from_state_dict(make_spanplus(feature_channels=16, blocks=(1,)))
+    p = tmp_path / 'm.npz'
+    save_model(model, str(p))
+
+    data = dict(np.load(str(p)))
+    header = json.loads(bytes(data['__header__']).decode())
+    header['config_module'] = 'os'
+    header['config_class'] = 'system'
+    data['__header__'] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
+    evil = tmp_path / 'evil.npz'
+    np.savez(str(evil), **data)
+    with pytest.raises(ValueError, match='non-architecture module'):
+        load_model(str(evil))
+
+
 def test_unknown_extension(tmp_path):
     p = tmp_path / 'x.onnx'
     p.write_bytes(b'\x00')

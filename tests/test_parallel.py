@@ -53,6 +53,17 @@ def test_tiled_matches_whole_image():
     assert err < 1e-4, f'seam error {err}'
 
 
+def test_tiled_narrow_strip():
+    # one dim smaller than 2*halo: window must shrink below the short dim
+    # instead of crashing in dynamic_slice (ADVICE r1)
+    model = _compact_model()
+    img = np.random.default_rng(2).random((20, 300, 3), dtype=np.float32)
+    whole = np.asarray(model(img))
+    tiled = np.asarray(upscale_tiled(model, img, tile=64, halo=16))
+    assert tiled.shape == whole.shape
+    assert np.abs(tiled - whole).max() < 1e-4
+
+
 def test_tiled_with_mesh():
     import jax
 
