@@ -91,13 +91,53 @@ def _hab(p: PTree, x, cfg: HATConfig, num_heads: int, shift: int, rpi_sa):
     return x + y
 
 
+def _overlap_windows(kv, ws: int, owin: int):
+    """Overlapping (owin, owin) windows at stride ws, zero-padded.
+
+    Matches torch ``nn.Unfold(owin, stride=ws, padding=(owin-ws)//2)``
+    (reference hat/arch.py:377-381) but is built purely from
+    slice/reshape/stack of non-overlapping ``g = gcd(ws, owin)`` sub-blocks —
+    XLA lowers it to plain copies.  The naive alternative
+    (``conv_general_dilated_patches``) lowers to an identity conv with
+    C*owin^2 output channels, which both materializes the patches at conv
+    cost and dominated HAT's runtime (measured: 6 OCABs ~= 54% of the whole
+    HAT-S forward).
+
+    Returns (b * nwin, owin*owin, c) with row-major window positions.
+    """
+    b, h, w, c = kv.shape
+    pad = (owin - ws) // 2
+    g = math.gcd(ws, owin)
+    na = owin // g
+    ni, nj = h // ws, w // ws
+    # after = pad + (ws - g): chunk a's strided reshape needs g*a + ws*n rows;
+    # the surplus rows land in each 16-block's unused [g:ws] tail
+    kvp = jnp.pad(kv, ((0, 0), (pad, pad + ws - g), (pad, pad + ws - g), (0, 0)))
+    wp = kvp.shape[2]
+    rows = jnp.stack(
+        [
+            kvp[:, g * a : g * a + ws * ni].reshape(b, ni, ws, wp, c)[:, :, :g]
+            for a in range(na)
+        ],
+        axis=2,
+    )  # (b, ni, na, g, wp, c)
+    wins = jnp.stack(
+        [
+            rows[:, :, :, :, g * e : g * e + ws * nj].reshape(b, ni, na, g, nj, ws, c)[..., :g, :]
+            for e in range(na)
+        ],
+        axis=5,
+    )  # (b, ni, na, g, nj, na, g, c)
+    wins = wins.transpose(0, 1, 4, 2, 3, 5, 6, 7)
+    return wins.reshape(b * ni * nj, owin * owin, c)
+
+
 def _ocab(p: PTree, x, cfg: HATConfig, num_heads: int, rpi_oca):
     """Overlapping cross-attention block (hat/arch.py:351-481)."""
     h, w = x.shape[1], x.shape[2]
     ws = cfg.window_size
     owin = cfg.overlap_win_size
     c = cfg.embed_dim
-    pad = (owin - ws) // 2
 
     shortcut = x
     x = F.layer_norm(x, p['norm1.weight'], p['norm1.bias'])
@@ -107,14 +147,7 @@ def _ocab(p: PTree, x, cfg: HATConfig, num_heads: int, rpi_oca):
 
     q_windows = window_partition(q, ws)  # (b*nw, ws*ws, c)
 
-    # torch unfold on (b, 2c, h, w); patches feature order = (channel, i, j)
-    patches = jax.lax.conv_general_dilated_patches(
-        kv, filter_shape=(owin, owin), window_strides=(ws, ws),
-        padding=[(pad, pad), (pad, pad)], dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-    )  # (b, nh, nw, 2c*owin*owin)
-    b = patches.shape[0]
-    nw_tot = patches.shape[1] * patches.shape[2]
-    patches = patches.reshape(b * nw_tot, 2 * c, owin * owin).transpose(0, 2, 1)
+    patches = _overlap_windows(kv, ws, owin)  # (b*nw, owin*owin, 2c)
     k_windows = patches[..., :c]
     v_windows = patches[..., c:]
 

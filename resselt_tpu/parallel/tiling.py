@@ -98,6 +98,48 @@ _extract_tiles_jit = jax.jit(extract_tiles, static_argnums=1)
 _stitch_tiles_jit = jax.jit(stitch_tiles, static_argnums=(1, 2))
 
 
+def _make_fused_tiled_fn(model, grid: TileGrid, scale: int, batch_size: int,
+                         precision: str | None, mesh, unroll: int):
+    """One jitted program: extract tiles -> scan model over tile batches ->
+    stitch.  The whole grid runs in a single host->device dispatch; through a
+    remote-TPU tunnel each dispatch costs ~110 ms, so a 45-tile transformer
+    grid at batch 2 drops from ~23 dispatches to 1."""
+    apply_fn = model._apply_fn
+    config = model.config
+    win = grid.window
+    n = len(grid.ys) * len(grid.xs)
+    pad_n = -n % batch_size
+    nb = (n + pad_n) // batch_size
+    if mesh is not None:
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
+
+    def fn(params, image):
+        tiles = extract_tiles(image, grid)
+        if pad_n:
+            tiles = jnp.concatenate([tiles, jnp.tile(tiles[-1:], (pad_n, 1, 1, 1))])
+        batches = tiles.reshape(nb, batch_size, win, win, tiles.shape[-1])
+
+        def body(_, chunk):
+            if mesh is not None:
+                chunk = jax.lax.with_sharding_constraint(chunk, sharding)
+            if precision is None:
+                y = apply_fn(config, params, chunk)
+            else:
+                with jax.default_matmul_precision(precision):
+                    y = apply_fn(config, params, chunk)
+            return None, y
+
+        if nb == 1:
+            outs = body(None, batches[0])[1][None]
+        else:
+            _, outs = jax.lax.scan(body, None, batches, unroll=unroll)
+        out_tiles = outs.reshape(nb * batch_size, win * scale, win * scale, -1)[:n]
+        return stitch_tiles(out_tiles, grid, scale)
+
+    return jax.jit(fn)
+
+
 def upscale_padded(
     model,
     image,
@@ -141,12 +183,22 @@ def upscale_tiled(
     mesh: 'jax.sharding.Mesh | None' = None,
     dtype=None,
     precision: str | None = None,
+    on_device: bool | None = None,
+    unroll: int = 1,
 ):
     """Run an SRModel over a large image via overlap tiling.
 
     ``image``: (H, W, C) in [0, 1].  When ``mesh`` is given, each tile batch
     is sharded over the mesh's first axis (data parallel over tiles).
-    ``precision`` is forwarded to the model (see ``SRModel.__call__``)."""
+    ``precision`` is forwarded to the model (see ``SRModel.__call__``).
+
+    ``on_device`` (default True): run the entire tile loop inside ONE jitted
+    program (``lax.scan`` over tile batches) — a single host->device
+    dispatch per image instead of one per batch, which dominates wall-clock
+    through a remote-TPU tunnel.  Set False for the per-batch host loop
+    (per-tile progress logging, lower peak memory on huge grids).
+    ``unroll`` unrolls the on-device scan (straight-line XLA) — try >1 if a
+    large transformer body scans pathologically (see BENCHMARKS.md)."""
     image = jnp.asarray(image)
     if image.ndim != 3:
         raise ValueError('upscale_tiled expects an HWC image')
@@ -168,11 +220,7 @@ def upscale_tiled(
         window = tile + 2 * halo
 
     grid = plan_grid(h, w, tile, halo)
-    # jitted extract/stitch: the Python loops trace once per grid; without
-    # this every dynamic_slice/update dispatches as its own device call,
-    # which dominates wall-clock through a remote-TPU tunnel
-    tiles = _extract_tiles_jit(image, grid)
-    n = tiles.shape[0]
+    n = len(grid.ys) * len(grid.xs)
 
     if batch_size is None:
         # 8 balances conv models (ESRGAN: B=8 is +27% vs B=1) against
@@ -184,6 +232,31 @@ def upscale_tiled(
         batch_size = max(dev, batch_size - batch_size % dev)
     batch_size = min(batch_size, n) if mesh is None else batch_size
 
+    if on_device is None:
+        on_device = True
+    if on_device:
+        if image.dtype == jnp.uint8:
+            image = image.astype(jnp.float32) / 255.0
+        if dtype is not None:
+            image = image.astype(dtype)
+        elif image.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+            image = image.astype(jnp.float32)
+        cache = model.__dict__.setdefault('_tiled_fn_cache', {})
+        mesh_key = None
+        if mesh is not None:
+            mesh_key = (mesh.axis_names, mesh.devices.shape,
+                        tuple(d.id for d in mesh.devices.flat))
+        key = (grid, batch_size, str(image.dtype), precision, mesh_key, unroll)
+        fused = cache.get(key)
+        if fused is None:
+            fused = _make_fused_tiled_fn(model, grid, scale, batch_size,
+                                         precision, mesh, unroll)
+            cache[key] = fused
+        return fused(model.params, image)
+
+    # host-loop path: one dispatch per tile batch (per-batch progress
+    # logging; lower peak device memory on huge grids)
+    tiles = _extract_tiles_jit(image, grid)
     outs = []
     verbose = logger.isEnabledFor(logging.DEBUG)
     for i in range(0, n, batch_size):

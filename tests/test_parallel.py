@@ -64,6 +64,30 @@ def test_tiled_narrow_strip():
     assert np.abs(tiled - whole).max() < 1e-4
 
 
+def test_tiled_on_device_matches_host_loop():
+    # the fused single-dispatch path (extract -> scan over batches -> stitch)
+    # must match the per-batch host loop exactly
+    model = _compact_model()
+    img = np.random.default_rng(3).random((70, 90, 3), dtype=np.float32)
+    host = np.asarray(upscale_tiled(model, img, tile=32, halo=8, on_device=False))
+    fused = np.asarray(upscale_tiled(model, img, tile=32, halo=8, on_device=True))
+    np.testing.assert_allclose(fused, host, atol=1e-6)
+    unrolled = np.asarray(
+        upscale_tiled(model, img, tile=32, halo=8, on_device=True, unroll=2))
+    np.testing.assert_allclose(unrolled, host, atol=1e-6)
+
+
+def test_tiled_on_device_with_mesh():
+    import jax
+
+    model = _compact_model()
+    mesh = make_mesh(n_devices=min(4, len(jax.devices())), dp=None, tp=1, axis_names=('dp', 'tp'))
+    img = np.random.default_rng(4).random((64, 96, 3), dtype=np.float32)
+    whole = np.asarray(model(img))
+    tiled = np.asarray(upscale_tiled(model, img, tile=16, halo=8, mesh=mesh, on_device=True))
+    assert np.abs(tiled - whole).max() < 1e-4
+
+
 def test_tiled_with_mesh():
     import jax
 

@@ -130,15 +130,26 @@ def measure_tpu(model, tile: int, scale: int, batch: int, iters: int = 3) -> flo
     return (tile * scale) ** 2 * batch * iters / 1e6 / dt
 
 
-def measure_tpu_tiled(model, hw: tuple[int, int], tile: int, scale: int) -> float:
-    """End-to-end tiled-driver throughput on a large input (sync via the
-    host copy of the stitched output)."""
+def measure_tpu_tiled(model, hw: tuple[int, int], tile: int, scale: int,
+                      on_device: bool = True, unroll: int = 1,
+                      batch_size: int | None = None) -> float:
+    """End-to-end tiled-driver throughput on a large input.
+
+    Syncs via an on-device reduction + scalar readback instead of copying
+    the stitched image to the host: through the axon tunnel a full-frame
+    transfer costs seconds and is not representative of a locally-attached
+    TPU (see CLAUDE.md methodology notes)."""
+    import jax.numpy as jnp
+
     from resselt_tpu.parallel import upscale_tiled
 
     img = np.random.default_rng(0).random((hw[0], hw[1], 3), dtype=np.float32)
-    np.asarray(upscale_tiled(model, img, tile=tile, halo=16))  # compile + warm
+    kw = dict(tile=tile, halo=16, on_device=on_device, unroll=unroll,
+              batch_size=batch_size)
+    float(jnp.sum(upscale_tiled(model, img, **kw)))  # compile + warm
     t0 = time.perf_counter()
-    out = np.asarray(upscale_tiled(model, img, tile=tile, halo=16))
+    out = upscale_tiled(model, img, **kw)
+    float(jnp.sum(out))
     dt = time.perf_counter() - t0
     return out.shape[0] * out.shape[1] / 1e6 / dt
 
