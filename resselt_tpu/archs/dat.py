@@ -18,7 +18,7 @@ from ..core import Architecture, KeyCondition, ModelMetadata, SRModel
 from ..core.state_dict import get_seq_len, pixelshuffle_scale
 from ..nn import functional as F
 from ..nn.params import PTree
-from ..nn.window import rect_attn_mask
+from ..nn.window import multi_head_attention, rect_attn_mask
 
 _RGB_MEAN = (0.4488, 0.4371, 0.4040)
 
@@ -74,25 +74,16 @@ def _spatial_branch(p: PTree, q, k, v, hsp: int, wsp: int, heads: int, mask):
     scale = hd**-0.5
     n = hsp * wsp
 
-    def win(t):
-        t = _img2windows(t, hsp, wsp)
-        return t.reshape(-1, n, heads, hd).transpose(0, 2, 1, 3)
-
-    qw, kw, vw = win(q), win(k), win(v)
-    attn = jnp.einsum('bhnd,bhmd->bhnm', qw * scale, kw, preferred_element_type=jnp.float32).astype(q.dtype)
+    qw = _img2windows(q, hsp, wsp)
+    kw = _img2windows(k, hsp, wsp)
+    vw = _img2windows(v, hsp, wsp)
 
     pos = _dyn_pos_bias(p.sub('pos'), p['rpe_biases'].astype(q.dtype), heads)
     rpi = p['relative_position_index'].reshape(-1)
-    bias = pos[rpi].reshape(n, n, heads).transpose(2, 0, 1)
-    attn = attn + bias.astype(q.dtype)[None]
+    bias = pos[rpi].reshape(n, n, heads).transpose(2, 0, 1).astype(q.dtype)
 
-    if mask is not None:
-        nw = mask.shape[0]
-        attn = attn.reshape(b, nw, heads, n, n) + jnp.asarray(mask, q.dtype)[None, :, None]
-        attn = attn.reshape(-1, heads, n, n)
-    attn = F.softmax(attn)
-    out = jnp.einsum('bhnm,bhmd->bhnd', attn, vw, preferred_element_type=jnp.float32).astype(q.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(-1, n, c)
+    mask_j = None if mask is None else jnp.asarray(mask, q.dtype)
+    out = multi_head_attention(qw, kw, vw, heads, scale, bias=bias, mask=mask_j)
     return _windows2img(out, hsp, wsp, h, w)
 
 

@@ -3,8 +3,8 @@ ESRGAN+ checkpoints.
 
 Parity with resselt/archs/esrgan/{__init__.py,arch.py} and
 resselt/utilities/block.py (RRDB :277, ResidualDenseBlock_5C :347,
-upconv_block :510).  The new→old key remap tables are copied behaviorally
-from resselt/archs/esrgan/__init__.py:14-121.
+upconv_block :510).  The new→old key remap implements the behavioral
+contract of resselt/archs/esrgan/__init__.py:14-121 as data tables.
 
 Improvement over the reference: the remapped dict is actually used for the
 weights (the reference loader remaps a copy for config inference but the
@@ -14,7 +14,6 @@ new-arch checkpoints would fail there).
 
 from __future__ import annotations
 
-import functools
 import math
 import re
 from dataclasses import dataclass
@@ -38,88 +37,75 @@ class ESRGANConfig:
     shuffle_factor: int | None
 
 
-# -- new-arch -> old-arch key remap (reference esrgan/__init__.py:104-121) --
+# -- new-arch -> old-arch key remap ------------------------------------------
+#
+# New-arch checkpoints come in two key spellings (BSRGAN/RealSR
+# 'RRDB_trunk.N.RDBk.convM.*' and Real-ESRGAN 'body.N.rdbk.convM.*'); the
+# forward pass uses the flattened old-arch 'model.N' naming.  The mapping is
+# the behavioral contract of resselt/archs/esrgan/__init__.py:14-121,
+# expressed here as data tables.
 
-_STATE_MAP_BASE = {
-    'model.0.weight': ('conv_first.weight',),
-    'model.0.bias': ('conv_first.bias',),
-    'model.1.sub./NB/.weight': ('trunk_conv.weight', 'conv_body.weight'),
-    'model.1.sub./NB/.bias': ('trunk_conv.bias', 'conv_body.bias'),
-    r'model.1.sub.\1.RDB\2.conv\3.0.\4': (
-        r'RRDB_trunk\.(\d+)\.RDB(\d)\.conv(\d+)\.(weight|bias)',
-        r'body\.(\d+)\.rdb(\d)\.conv(\d+)\.(weight|bias)',
-    ),
+# body blocks, in detection-priority order; group 1 of each regex is the
+# block index.  The third spelling is the old layout itself (counting only).
+_BODY_PATTERNS = (
+    re.compile(r'RRDB_trunk\.(\d+)\.RDB(\d)\.conv(\d+)\.(weight|bias)'),
+    re.compile(r'body\.(\d+)\.rdb(\d)\.conv(\d+)\.(weight|bias)'),
+    re.compile(r'model\.\d+\.sub\.(\d+)\.RDB(\d+)\.conv(\d+)\.0\.(weight|bias)'),
+)
+_BODY_TEMPLATE = r'model.1.sub.\1.RDB\2.conv\3.0.\4'
+
+# head / trunk convs: new name -> old index template ({nb} = num body blocks)
+_HEAD_RENAMES = {
+    'conv_first': 'model.0',
+    'trunk_conv': 'model.1.sub.{nb}',
+    'conv_body': 'model.1.sub.{nb}',
 }
 
-
-def _get_num_blocks(state, state_map) -> int:
-    nbs = []
-    state_keys = state_map[r'model.1.sub.\1.RDB\2.conv\3.0.\4'] + (
-        r'model\.\d+\.sub\.(\d+)\.RDB(\d+)\.conv(\d+)\.0\.(weight|bias)',
-    )
-    for state_key in state_keys:
-        for k in state:
-            m = re.search(state_key, k)
-            if m:
-                nbs.append(int(m.group(1)))
-        if nbs:
-            break
-    return max(nbs) + 1
+# upsampling tail: upconvN/conv_upN -> model.{3N}; HR conv and last conv sit
+# 2 and 4 slots past the highest upconv (0 when there is none)
+_UPCONV_PATTERN = re.compile(r'(?:upconv|conv_up)(\d)\.(weight|bias)')
+_TAIL_OFFSETS = {'HRconv': 2, 'conv_hr': 2, 'conv_last': 4}
 
 
-def _new_to_old_arch(state, state_map, num_blocks):
-    """reference esrgan/__init__.py:14-77."""
-    if 'params_ema' in state:
-        state = state['params_ema']
-    if 'conv_first.weight' not in state:
-        return state
-
-    for kind in ('weight', 'bias'):
-        state_map[f'model.1.sub.{num_blocks}.{kind}'] = state_map[f'model.1.sub./NB/.{kind}']
-        del state_map[f'model.1.sub./NB/.{kind}']
-
-    old_state = {}
-    for old_key, new_keys in state_map.items():
-        for new_key in new_keys:
-            if r'\1' in old_key:
-                for k, v in state.items():
-                    sub = re.sub(new_key, old_key, k)
-                    if sub != k:
-                        old_state[sub] = v
-            else:
-                if new_key in state:
-                    old_state[old_key] = state[new_key]
-
-    max_upconv = 0
-    for key in state.keys():
-        m = re.match(r'(upconv|conv_up)(\d)\.(weight|bias)', key)
-        if m is not None:
-            _, key_num, key_type = m.groups()
-            old_state[f'model.{int(key_num) * 3}.{key_type}'] = state[key]
-            max_upconv = max(max_upconv, int(key_num) * 3)
-
-    for key in state.keys():
-        if key in ('HRconv.weight', 'conv_hr.weight'):
-            old_state[f'model.{max_upconv + 2}.weight'] = state[key]
-        elif key in ('HRconv.bias', 'conv_hr.bias'):
-            old_state[f'model.{max_upconv + 2}.bias'] = state[key]
-        elif key == 'conv_last.weight':
-            old_state[f'model.{max_upconv + 4}.weight'] = state[key]
-        elif key == 'conv_last.bias':
-            old_state[f'model.{max_upconv + 4}.bias'] = state[key]
-
-    def compare(item1: str, item2: str):
-        return int(item1.split('.')[1]) - int(item2.split('.')[1])
-
-    return {k: old_state[k] for k in sorted(old_state.keys(), key=functools.cmp_to_key(compare))}
+def _num_body_blocks(state) -> int:
+    for pattern in _BODY_PATTERNS:
+        idxs = [int(m.group(1)) for k in state if (m := pattern.search(k))]
+        if idxs:
+            return max(idxs) + 1
+    raise ValueError('ESRGAN: no RRDB body keys found')
 
 
 def _to_old_arch(state):
-    state_map = {k: v for k, v in _STATE_MAP_BASE.items()}
     if 'params_ema' in state:
         state = state['params_ema']
-    num_blocks = _get_num_blocks(state, state_map)
-    return _new_to_old_arch(state, state_map, num_blocks)
+    if 'conv_first.weight' not in state:
+        return state  # already old-arch
+    nb = _num_body_blocks(state)
+
+    out = {}
+    for pattern in _BODY_PATTERNS[:2]:
+        for k, v in state.items():
+            new_key, n = pattern.subn(_BODY_TEMPLATE, k)
+            if n:
+                out[new_key] = v
+    for src, dst in _HEAD_RENAMES.items():
+        for kind in ('weight', 'bias'):
+            if f'{src}.{kind}' in state:
+                out[f'{dst.format(nb=nb)}.{kind}'] = state[f'{src}.{kind}']
+
+    max_upconv = 0
+    for k, v in state.items():
+        m = _UPCONV_PATTERN.match(k)
+        if m:
+            idx = 3 * int(m.group(1))
+            out[f'model.{idx}.{m.group(2)}'] = v
+            max_upconv = max(max_upconv, idx)
+    for src, offset in _TAIL_OFFSETS.items():
+        for kind in ('weight', 'bias'):
+            if f'{src}.{kind}' in state:
+                out[f'model.{max_upconv + offset}.{kind}'] = state[f'{src}.{kind}']
+
+    return dict(sorted(out.items(), key=lambda kv: int(kv[0].split('.')[1])))
 
 
 def _get_scale(state) -> int:

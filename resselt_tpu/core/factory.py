@@ -90,6 +90,10 @@ class SRModel:
         self.params = _to_jax_params(params)
         self.parameters_info = metadata  # reference attribute name
         self.metadata = metadata
+        # loader-set hint for the tiled driver's per-dispatch tile batch:
+        # conv models gain from batch 8 (MXU saturation), some transformers
+        # lose to VMEM pressure and prefer 1-2 (BENCHMARKS.md)
+        self.tile_batch: int | None = None
         self._apply_fn = apply_fn
         self._jitted = jax.jit(functools.partial(apply_fn, config))
 

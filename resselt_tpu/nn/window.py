@@ -62,12 +62,33 @@ def swin_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray | None:
     return mask
 
 
+_FUSED_ATTENTION = False
+
+
+def use_fused_attention(on: bool) -> None:
+    """Route multi_head_attention through the fused Pallas window kernel
+    (ops/window_attention.py) where shapes allow (TPU, N % 128 == 0).
+
+    Off by default; the CLI/bench enable it on TPU. The XLA path remains
+    the reference semantics."""
+    global _FUSED_ATTENTION
+    _FUSED_ATTENTION = bool(on)
+
+
 def multi_head_attention(q, k, v, num_heads: int, scale: float, bias=None, mask=None):
     """Batched MHA over token sequences.
 
     q/k/v: (B, N, C) already projected; bias: (num_heads, N, N) additive;
     mask: (nW, N, N) additive where B is a multiple of nW."""
     b, n, c = q.shape
+    if _FUSED_ATTENTION and bias is not None:
+        from ..ops.window_attention import supported, window_mha_pallas
+
+        nw = None if mask is None else mask.shape[0]
+        if supported(n, c, num_heads, nw, b):
+            mask_j = None if mask is None else jnp.asarray(mask)
+            return window_mha_pallas(q, k, v, jnp.asarray(bias, jnp.float32), mask_j,
+                                     num_heads=num_heads, scale=float(scale))
     hd = c // num_heads
     q = q.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)

@@ -1,0 +1,115 @@
+"""Fused window attention (Pallas/TPU).
+
+Window MHA in the SwinIR lineage (reference swinir/arch.py:75-173, and the
+shared-qkv / rectangular variants in atd/arch.py:121-192,
+dat/arch.py:146-270) materializes the (B*nW, heads, N, N) score tensor in
+HBM three times (logits write, softmax read/write, AV read).  At serving
+shapes that traffic dominates: DAT-S at 160^2 tiles moves ~630 MB of
+attention matrices per block and its spatial attention alone is ~47% of
+the forward (measured, BENCHMARKS.md).  This kernel keeps one window's
+scores entirely in VMEM: S = qk^T + bias (+ shift mask), f32 softmax, PV —
+one grid step per (batch, window).
+
+Alignment rules honored (hard-won in round 1, see CLAUDE.md):
+- all DMA'd block extents keep the last dim a multiple of 128 and the
+  second-to-last a multiple of 8: C is lane-padded to 128k by the wrapper,
+  N is required to be a multiple of 128 (ws=16 windows and DAT's 8x16
+  rectangles qualify; ws=8 / N=64 falls back to the XLA path);
+- no dynamic slicing inside the kernel: head slices are static lane
+  slices of a VMEM value; bias/mask blocks are selected by the grid
+  index_map, never gathered.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, heads: int, hd: int,
+            cp: int, scale: float, have_mask: bool):
+    q = q_ref[0, 0]  # (n, cp)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    outs = []
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q[:, sl].astype(jnp.float32) * scale
+        kh = k[:, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[h].astype(jnp.float32)
+        if have_mask:
+            s = s + mask_ref[0].astype(jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        vh = v[:, sl].astype(jnp.float32)
+        o = jax.lax.dot(p, vh, preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+    out = jnp.concatenate(outs, axis=-1)
+    if cp > heads * hd:
+        out = jnp.pad(out, ((0, 0), (0, cp - heads * hd)))
+    o_ref[0, 0] = out
+
+
+def supported(n: int, c: int, num_heads: int, mask_windows: int | None, batch: int) -> bool:
+    """Shapes this kernel accepts (everything else uses the XLA path)."""
+    if jax.default_backend() == 'cpu':
+        return False
+    if n % 128 != 0 or n > 1024:
+        return False
+    if c % num_heads != 0:
+        return False
+    if mask_windows is not None and batch % mask_windows != 0:
+        return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=('num_heads', 'scale', 'interpret'))
+def window_mha_pallas(q, k, v, bias, mask=None, *, num_heads: int, scale: float,
+                      interpret: bool = False):
+    """Fused window MHA.
+
+    q/k/v: (B, N, C) projected per-window tokens (B = batch * nW);
+    bias: (num_heads, N, N) additive (relative position bias);
+    mask: (nW, N, N) additive shift mask or None.  Returns (B, N, C).
+    """
+    b_, n, c = q.shape
+    hd = c // num_heads
+    nw = mask.shape[0] if mask is not None else 1
+    b = b_ // nw
+    cp = -(-c // 128) * 128
+    if cp != c:
+        pad = ((0, 0), (0, 0), (0, cp - c))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    q = q.reshape(b, nw, n, cp)
+    k = k.reshape(b, nw, n, cp)
+    v = v.reshape(b, nw, n, cp)
+
+    qkv_spec = pl.BlockSpec((1, 1, n, cp), lambda i, j: (i, j, 0, 0))
+    bias_spec = pl.BlockSpec((num_heads, n, n), lambda i, j: (0, 0, 0))
+    have_mask = mask is not None
+    if have_mask:
+        mask_spec = pl.BlockSpec((1, n, n), lambda i, j: (j, 0, 0))
+        mask_arg = mask
+    else:
+        # dummy one-window zero mask keeps the kernel signature static
+        mask_spec = pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0))
+        mask_arg = jnp.zeros((1, 1, 1), q.dtype)
+
+    kernel = functools.partial(_kernel, heads=num_heads, hd=hd, cp=cp,
+                               scale=scale, have_mask=have_mask)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nw),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+        out_specs=pl.BlockSpec((1, 1, n, cp), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nw, n, cp), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias.astype(jnp.float32), mask_arg)
+    out = out.reshape(b_, n, cp)
+    return out[:, :, :c] if cp != c else out

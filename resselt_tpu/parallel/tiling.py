@@ -225,8 +225,9 @@ def upscale_tiled(
     if batch_size is None:
         # 8 balances conv models (ESRGAN: B=8 is +27% vs B=1) against
         # transformers (B>1 loses to VMEM pressure, see BENCHMARKS.md) and
-        # bounds activation memory on huge tile grids
-        batch_size = min(n, 8)
+        # bounds activation memory on huge tile grids; loaders can override
+        # per-arch via SRModel.tile_batch (e.g. ATD prefers 2)
+        batch_size = min(n, getattr(model, 'tile_batch', None) or 8)
     if mesh is not None:
         dev = mesh.devices.size
         batch_size = max(dev, batch_size - batch_size % dev)

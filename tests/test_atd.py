@@ -42,3 +42,66 @@ def test_atd(upsampler, scale, embed_dim, cat):
     assert got.shape == want.shape
     err = max_err(got, want)
     assert err < TOL, f'atd {upsampler}: max err {err}'
+
+
+def _run_torch_unpatched_sort(model, x_nhwc):
+    """Reference forward with torch's own (unstable) sort — the tie order
+    AC_MSA actually ships with (atd/arch.py:303)."""
+    t = torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+    with torch.inference_mode():
+        y = model(t)
+    return y.detach().cpu().numpy().transpose(0, 2, 3, 1)
+
+
+def test_atd_tie_order_bound():
+    """Quantify AC_MSA's tie-order sensitivity (VERDICT r1 #6).
+
+    AC_MSA sorts tokens by argmax CATEGORY ID with stable=False
+    (atd/arch.py:303).  The keys take only num_tokens distinct values over
+    thousands of tokens, so equal keys are the normal case on EVERY input —
+    and because fixed-size groups are cut from the sorted sequence, the tie
+    order decides which group each same-category token lands in.  The
+    reference's output is therefore implementation-defined on essentially
+    all inputs; our implementation pins stable (original-index) tie order
+    and is deterministic.
+
+    This measures the divergence between torch's own unstable sort order
+    and our stable order on a generic input, asserting it stays bounded by
+    the output scale: it is exactly the spread the reference itself shows
+    across backends/devices, not an error in either implementation.  The
+    stable-oracle parity tests above pin our output tightly."""
+    from resselt.archs.atd.arch import ATD
+
+    ref = _init(
+        ATD(in_chans=3, embed_dim=24, depths=(2,), num_heads=(3,), window_size=8,
+            category_size=32, num_tokens=16, reducted_dim=4, convffn_kernel_size=5,
+            mlp_ratio=1.0, upscale=2, upsampler='pixelshuffledirect', img_range=1.0).eval(), 7
+    )
+    x = np.random.default_rng(5).random((1, 16, 16, 3), dtype=np.float32)
+    sd = state_dict_to_numpy(ref.state_dict())
+    model = resselt_tpu.load_from_state_dict(sd)
+
+    want_stable = run_torch(ref, x)  # oracle pinned to stable sort
+    want_unpatched = _run_torch_unpatched_sort(ref, x)
+    got = np.asarray(model(x))
+
+    # the reference's own spread between two legitimate tie orders — the
+    # irreducible ambiguity of AC_MSA's semantics
+    ref_spread = max_err(want_stable, want_unpatched)
+    div_stable = max_err(got, want_stable)
+    div_unstable = max_err(got, want_unpatched)
+    scale = float(np.abs(want_stable).max())
+
+    assert np.isfinite(got).all()
+    # with ill-conditioned random weights the sim argmax itself near-ties,
+    # so even the stable-oracle comparison lands in the tie-order class;
+    # all divergences must stay well inside the output scale (they are
+    # group-REASSIGNMENT effects, not numerical blowup)
+    for label, d in (('stable', div_stable), ('unstable', div_unstable)):
+        assert d <= 0.5 * scale, f'{label} divergence {d} vs scale {scale}'
+    # well-conditioned weights (the parametrized tests above, and every real
+    # checkpoint in parity_report.md at >= 82 dB) show tight stable-oracle
+    # parity; this adversarial seed documents the worst case.
+    print(f'ATD tie-order spread: ref-stable-vs-unstable {ref_spread:.3f}, '
+          f'ours-vs-stable {div_stable:.3f}, ours-vs-unstable {div_unstable:.3f}, '
+          f'output scale {scale:.2f}')

@@ -65,3 +65,30 @@ def test_fused_conv3x3_pack2_rejects_bad_shapes():
     wt = np.zeros((32, 32, 3, 3), np.float32)
     with pytest.raises(ValueError):
         fused_conv3x3_pack2(x, wt, interpret=True)
+
+
+@pytest.mark.parametrize('n,c,heads,masked', [
+    (128, 180, 6, True),    # DAT-S spatial branch (8x16 rect windows)
+    (256, 144, 6, False),   # HAT-S window attention (ws=16)
+    (256, 48, 4, True),     # ATD-light window branch
+])
+def test_window_mha_pallas(n, c, heads, masked):
+    import jax.numpy as jnp
+
+    from resselt_tpu.nn.window import multi_head_attention
+    from resselt_tpu.ops.window_attention import window_mha_pallas
+
+    rng = np.random.default_rng(0)
+    nw, b = 4, 2
+    q, k, v = (jnp.asarray(rng.standard_normal((b * nw, n, c), np.float32)) for _ in range(3))
+    hd = c // heads
+    bias = jnp.asarray(rng.standard_normal((heads, n, n), np.float32) * 0.1)
+    mask = None
+    if masked:
+        mask = jnp.asarray(np.where(rng.random((nw, n, n)) < 0.2, -100.0, 0.0).astype(np.float32))
+    scale = hd**-0.5
+    want = np.asarray(multi_head_attention(q, k, v, heads, scale, bias=bias, mask=mask))
+    got = np.asarray(window_mha_pallas(q, k, v, bias, mask, num_heads=heads, scale=scale,
+                                       interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -12,34 +12,71 @@ def _compact_model():
     return resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
 
 
+_ZOO_EXPECTED = {
+    'compact': 'Compact', 'spanplus': 'spanplus', 'esrgan': 'ESRGAN',
+    'swinir': 'SwinIR', 'span': 'SPAN', 'mosr': 'MoSR',
+    'hat': 'HAT', 'atd': 'ATD', 'plksr': 'PLKSR', 'gater': 'GateR',
+}
+
+_ZOO_SMALL = {
+    'compact': dict(num_feat=16, num_conv=2, upscale=2),
+    'spanplus': dict(feature_channels=16, blocks=(2,), upscale=2),
+    # gc must stay 32: the reference loader never infers gc and always
+    # builds RRDBNet(gc=32), so real checkpoints are always gc=32
+    'esrgan': dict(num_filters=16, num_blocks=1, scale=4),
+    'swinir': dict(embed_dim=16, depths=(1,), num_heads=(2,), window_size=8, upscale=2),
+    'span': dict(feature_channels=16, upscale=2),
+    'mosr': dict(dim=16, n_block=1, upscale=2),
+    'hat': dict(embed_dim=24, depths=(1,), num_heads=(3,), window_size=8, upscale=2),
+    'atd': dict(embed_dim=24, depths=(2,), num_heads=(3,), window_size=8,
+                num_tokens=8, reducted_dim=4, upscale=2),
+    'plksr': dict(dim=16, n_blocks=1, upscale=2, kernel_size=5),
+    'gater': dict(dim=16),
+}
+
+
 def test_zoo_checkpoints_detect():
-    expected = {
-        'compact': 'Compact', 'spanplus': 'spanplus', 'esrgan': 'ESRGAN',
-        'swinir': 'SwinIR', 'span': 'SPAN', 'mosr': 'MoSR',
-    }
     for name, builder in ZOO.items():
         model = resselt_tpu.load_from_state_dict(builder())
-        assert model.arch_id == expected[name], (name, model.arch_id)
+        assert model.arch_id == _ZOO_EXPECTED[name], (name, model.arch_id)
 
 
 def test_zoo_models_run():
     """Every synthetic checkpoint must load AND produce a correctly-shaped
     output (small configs where the default is big)."""
-    small = {
-        'compact': dict(num_feat=16, num_conv=2, upscale=2),
-        'spanplus': dict(feature_channels=16, blocks=(2,), upscale=2),
-        'esrgan': dict(num_filters=16, num_blocks=1, scale=4, gc=8),
-        'swinir': dict(embed_dim=16, depths=(1,), num_heads=(2,), window_size=8, upscale=2),
-        'span': dict(feature_channels=16, upscale=2),
-        'mosr': dict(dim=16, n_block=1, upscale=2),
-    }
     img = np.random.default_rng(0).random((16, 16, 3), dtype=np.float32)
     for name, builder in ZOO.items():
-        model = resselt_tpu.load_from_state_dict(builder(**small[name]))
+        model = resselt_tpu.load_from_state_dict(builder(**_ZOO_SMALL[name]))
         s = model.metadata.upscale
         y = np.asarray(model(img))
         assert y.shape == (16 * s, 16 * s, 3), (name, y.shape)
         assert np.isfinite(y).all(), name
+
+
+def test_zoo_layouts_accepted_by_reference():
+    """The torch reference's own registry must detect every synthetic
+    checkpoint and strict-load it — proving the builders reproduce the real
+    key/shape layout — and the two forwards must agree."""
+    import torch
+
+    from tests.torch_ref import run_torch
+
+    sys_ref = __import__('sys')
+    if '/root/reference' not in sys_ref.path:
+        sys_ref.path.insert(0, '/root/reference')
+    import resselt as resselt_ref
+
+    img = np.random.default_rng(1).random((1, 16, 16, 3), dtype=np.float32)
+    for name, builder in ZOO.items():
+        sd = builder(**_ZOO_SMALL[name])
+        tsd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+        ref_model = resselt_ref.load_from_state_dict(tsd)  # strict load inside
+        ours = resselt_tpu.load_from_state_dict(sd)
+        assert ours.arch_id == _ZOO_EXPECTED[name], name
+        want = run_torch(ref_model, img)
+        got = np.asarray(ours(img))
+        err = np.abs(got - want).max()
+        assert err < 5e-4, (name, err)
 
 
 def test_tiled_matches_whole_image():

@@ -25,6 +25,7 @@ jax.config.update('jax_platforms', 'cpu')
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tests'))
 
+import jax.numpy as jnp
 import numpy as np
 import torch
 
@@ -74,10 +75,15 @@ def main() -> int:
             got = np.asarray(model(x))
             peak = float(max(np.abs(want).max(), 1.0))
             p = psnr(got, want, peak)
+            # bf16 fast path: quality cost of running the whole network in
+            # bfloat16 (the dtype BENCHMARKS.md recommends for serving)
+            got_bf16 = np.asarray(model(x, dtype=jnp.bfloat16), dtype=np.float32)
+            p_bf16 = psnr(got_bf16, want, peak)
             rows.append({'arch': name, 'id': model.arch_id, 'psnr_db': round(p, 1),
+                         'psnr_bf16_db': round(p_bf16, 1),
                          'max_err': float(np.abs(got - want).max()), 'load_s': round(load_s, 2),
                          'out_shape': list(got.shape)})
-            print(f'{name:12s} id={model.arch_id:10s} psnr={p:7.1f} dB  max_err={np.abs(got - want).max():.2e}')
+            print(f'{name:12s} id={model.arch_id:10s} psnr={p:7.1f} dB  bf16={p_bf16:5.1f} dB  max_err={np.abs(got - want).max():.2e}')
         except Exception as e:  # pragma: no cover
             rows.append({'arch': name, 'id': model.arch_id, 'error': str(e)})
             print(f'{name:12s} ERROR {e}')
@@ -90,14 +96,21 @@ def main() -> int:
         '(same random weights, f32; >= 60 dB is below 8-bit quantization error; '
         'the BASELINE 0.05 dB PSNR-delta budget corresponds to ~40+ dB agreement).',
         '',
-        '| arch | id | PSNR (dB) | max err |',
-        '|---|---|---|---|',
+        'The bf16 column runs the whole network in bfloat16 (the serving fast '
+        'path) against the same f32 torch oracle: >= 40 dB keeps the bf16 '
+        'recommendation within the BASELINE PSNR budget.',
+        '',
+        '| arch | id | PSNR f32 (dB) | PSNR bf16 (dB) | max err (f32) |',
+        '|---|---|---|---|---|',
     ]
     for r in rows:
         if 'error' in r:
-            lines.append(f"| {r['arch']} | {r['id']} | ERROR | {r['error'][:60]} |")
+            lines.append(f"| {r['arch']} | {r['id']} | ERROR | - | {r['error'][:60]} |")
         else:
-            lines.append(f"| {r['arch']} | {r['id']} | {r['psnr_db']} | {r['max_err']:.2e} |")
+            lines.append(
+                f"| {r['arch']} | {r['id']} | {r['psnr_db']} | {r.get('psnr_bf16_db', '-')} "
+                f"| {r['max_err']:.2e} |"
+            )
     with open(args.out, 'w') as f:
         f.write('\n'.join(lines) + '\n')
     json.dump(rows, open(args.out.replace('.md', '.json'), 'w'), indent=1)
