@@ -21,11 +21,13 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# batch 8 is the tiled-serving shape (upscale_tiled default batch) and the
-# measured MXU sweet spot for conv models (+27% vs batch 1, BENCHMARKS.md);
-# the torch-CPU baseline stays per-MP at batch 1 — CPU is compute-saturated
-# and gains nothing from batching
-CONFIG = {'num_blocks': 23, 'num_filters': 64, 'scale': 4, 'tile': 256, 'batch': 8}
+# bf16 batch 16 is the best honest config measured in the r2 sweep
+# (BENCHMARKS.md): f32 b8 13.71, bf16 b8 14.52, bf16 b16 14.79 MP/s; per-
+# family bf16 parity is gated by parity_report.md (ESRGAN bf16 74 dB vs the
+# f32 oracle, far above the 8-bit floor).  The torch-CPU baseline stays
+# per-MP f32 at batch 1 — CPU is compute-saturated and gains nothing from
+# batching, and torch-CPU bf16 is slower than f32 there.
+CONFIG = {'num_blocks': 23, 'num_filters': 64, 'scale': 4, 'tile': 256, 'batch': 16, 'dtype': 'bf16'}
 CACHE = os.path.join(REPO, '.bench_baseline.json')
 
 
@@ -57,7 +59,11 @@ def measure_tpu(sd) -> float:
 
     model = resselt_tpu.load_from_state_dict(sd)
     b, t, s = CONFIG['batch'], CONFIG['tile'], CONFIG['scale']
+    params = model.params
     x = jnp.asarray(np.random.default_rng(0).random((b, t, t, 3), dtype=np.float32))
+    if CONFIG.get('dtype') == 'bf16':
+        params = {k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v) for k, v in params.items()}
+        x = x.astype(jnp.bfloat16)
     apply_fn = functools.partial(model._apply_fn, model.config)
     iters = 4
 
@@ -65,14 +71,14 @@ def measure_tpu(sd) -> float:
     def loop(p, x0):
         def body(_, carry):
             y = apply_fn(p, carry)
-            return carry + 1e-6 * y[:, :t, :t, :]
+            return carry + jnp.asarray(1e-6, carry.dtype) * y[:, :t, :t, :]
 
         out = jax.lax.fori_loop(0, iters, body, x0)
-        return jnp.sum(out)
+        return jnp.sum(out.astype(jnp.float32))
 
-    float(loop(model.params, x))  # compile + warm (sync via readback)
+    float(loop(params, x))  # compile + warm (sync via readback)
     t0 = time.perf_counter()
-    float(loop(model.params, x))
+    float(loop(params, x))
     dt = time.perf_counter() - t0
     mps = (t * s) ** 2 * b * iters / 1e6 / dt
     log(f'tpu: {mps:.2f} MP/s out ({dt / iters * 1e3:.1f} ms/batch of {b})')
@@ -80,7 +86,8 @@ def measure_tpu(sd) -> float:
 
 
 def measure_torch_cpu(sd) -> float:
-    key = json.dumps({k: v for k, v in CONFIG.items() if k != 'batch'}, sort_keys=True)
+    # baseline is always f32 batch-1 torch-CPU: exclude TPU-side knobs
+    key = json.dumps({k: v for k, v in CONFIG.items() if k not in ('batch', 'dtype')}, sort_keys=True)
     if os.path.exists(CACHE):
         try:
             cached = json.load(open(CACHE))
@@ -134,7 +141,8 @@ def main():
         log(f'baseline measurement failed: {e}')
         vs = float('nan')
     print(json.dumps({
-        'metric': '4x SR output MP/s/chip (ESRGAN RRDBNet-23 @256px tiles, batch 8)',
+        'metric': '4x SR output MP/s/chip (ESRGAN RRDBNet-23 @256px tiles, '
+                  f'batch {CONFIG["batch"]}, {CONFIG.get("dtype", "f32")})',
         'value': round(tpu_mps, 3),
         'unit': 'MP/s',
         'vs_baseline': round(vs, 2) if vs == vs else None,

@@ -40,10 +40,30 @@ def _partial(x, pdim, fn):
     return jnp.concatenate([fn(x1), x2], axis=-1)
 
 
+def _plk_conv(p: PTree, x1):
+    """The kxk partial large-kernel conv (plksr.py:54-81) — the measured
+    hot spot: at PLKSR-S shapes (17x17, 16ch, 256^2, b8) XLA runs it at 6.9
+    useful TFLOPS and it is ~83% of the model's runtime.  On TPU it
+    dispatches to the column-packed Pallas kernel (2x: 5.7 ms vs 11.9,
+    ops/fused_conv.py::fused_conv_lk); elsewhere / on unsupported shapes it
+    falls back to XLA."""
+    import jax
+
+    w = p['conv.weight']
+    k = w.shape[-1]
+    cin, cout = w.shape[1], w.shape[0]
+    if jax.default_backend() != 'cpu' and w.shape[-2] == k:
+        from ..ops.fused_conv import fused_conv_lk, lk_conv_available
+
+        if lk_conv_available(cin, cout, k) and x1.shape[1] >= 8 and x1.shape[2] >= 128:
+            return fused_conv_lk(x1, w, p.get('conv.bias'), k=k).astype(x1.dtype)
+    return p.conv('conv', x1, padding='same')
+
+
 def _lk(p: PTree, x, cfg: PLKSRConfig):
     if cfg.lk_type == 'PLK':
         pdim = p['conv.weight'].shape[0]
-        return _partial(x, pdim, lambda x1: p.conv('conv', x1, padding='same'))
+        return _partial(x, pdim, lambda x1: _plk_conv(p, x1))
     if cfg.lk_type == 'RectSparsePLK':
         pdim = p['mn_conv.weight'].shape[0]
 

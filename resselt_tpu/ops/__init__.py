@@ -1,3 +1,17 @@
-from .fused_conv import fused_conv3x3_act, fused_conv3x3_pack2, pallas_conv_available
+from .fused_conv import (
+    fused_conv3x3_act,
+    fused_conv3x3_pack2,
+    fused_conv_lk,
+    lk_conv_available,
+    pallas_conv_available,
+)
+from .window_attention import window_mha_pallas
 
-__all__ = ['fused_conv3x3_act', 'fused_conv3x3_pack2', 'pallas_conv_available']
+__all__ = [
+    'fused_conv3x3_act',
+    'fused_conv3x3_pack2',
+    'fused_conv_lk',
+    'lk_conv_available',
+    'pallas_conv_available',
+    'window_mha_pallas',
+]

@@ -273,3 +273,183 @@ def fused_conv3x3_act(x, w_oihw, b=None, act: str = 'linear', th: int = 16, inte
     out = jax.vmap(one)(xp)
     out = out[:, :h, :w, :cout]
     return out[0] if squeeze else out
+
+
+def _lk_kernel(x_hbm, w_ref, b_ref, o_ref, s0, s1, wide_ref, sem0, sem1, *, th: int, k: int,
+               hg: int, g_out: int, interpret: bool):
+    """Large-kernel conv body: k row-shifts x (2*hg+1) group-shifts of MXU
+    dots over a column-packed VMEM slab (see fused_conv_lk).
+
+    Grid is (batch, row_tiles); batch is folded into the grid because a
+    vmap'd pallas_call cannot carry a manually-DMA'd HBM operand (Mosaic
+    requires trivial block maps for ANY/HBM-space blocks)."""
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    halo = k - 1
+    n_steps = pl.num_programs(1)
+    n_batch = pl.num_programs(0)
+    slabs = (s0, s1)
+    sems = (sem0, sem1)
+
+    def copy(batch, step, slot: int):
+        return pltpu.make_async_copy(
+            x_hbm.at[batch, pl.ds(step * th, th + _pad_to(halo, 8))], slabs[slot], sems[slot]
+        )
+
+    # linear step index for double-buffer parity and cross-batch prefetch
+    lin = bi * n_steps + i
+    last = i + 1 == n_steps
+    nb = jnp.where(last, bi + 1, bi)
+    ni = jnp.where(last, 0, i + 1)
+    have_next = jnp.logical_or(jnp.logical_not(last), bi + 1 < n_batch)
+
+    @pl.when(lin == 0)
+    def _prologue():
+        copy(0, 0, 0).start()
+
+    even = lin % 2 == 0
+
+    @pl.when(jnp.logical_and(have_next, even))
+    def _prefetch_odd():
+        copy(nb, ni, 1).start()
+
+    @pl.when(jnp.logical_and(have_next, jnp.logical_not(even)))
+    def _prefetch_even():
+        copy(nb, ni, 0).start()
+
+    @pl.when(even)
+    def _wait_even():
+        copy(bi, i, 0).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _wait_odd():
+        copy(bi, i, 1).wait()
+
+    cur = jax.lax.cond(even, lambda: s0[:, :, :], lambda: s1[:, :, :])
+
+    ngs = 2 * hg + 1
+    # lane-concat the group shifts once -> one K = ngs*128 dot per row
+    # shift (fewer, larger MXU dispatches than ngs*k separate K=128 dots).
+    # Rolls stay f32 (Mosaic's dynamic_rotate has no bf16 lowering); the
+    # cast to the compute dtype happens on the concatenated operand.
+    parts = [cur]
+    for dg in range(1, ngs):
+        if interpret:
+            parts.append(jnp.roll(cur, -dg, axis=1))
+        else:
+            parts.append(pltpu.roll(cur, cur.shape[1] - dg, axis=1))
+    # stage the concatenated operand in VMEM so the per-dy row windows are
+    # ref slices (outer-dim, unconstrained) instead of value slices
+    wide_ref[:, :, :] = jnp.concatenate(parts, axis=-1).astype(w_ref.dtype)
+
+    acc = jnp.zeros((th * g_out, _LANES), jnp.float32)
+    for dy in range(k):
+        xs = wide_ref[dy : dy + th, 0:g_out, :].reshape(th * g_out, ngs * _LANES)
+        acc += jax.lax.dot_general(
+            xs, w_ref[dy], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc += b_ref[:]
+    o_ref[0] = acc.reshape(th, g_out, _LANES)
+
+
+def lk_conv_available(cin: int, cout: int, k: int) -> bool:
+    """Shapes fused_conv_lk supports: packed columns must fill the lanes."""
+    return cin in (8, 16, 32, 64) and 0 < cout <= cin and _LANES % cin == 0 and k % 2 == 1
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'act', 'th', 'interpret', 'compute_dtype'))
+def fused_conv_lk(x, w_oihw, b=None, k: int = 17, act: str = 'linear', th: int = 16,
+                  interpret: bool = False, compute_dtype: str = 'float32'):
+    """Fused same-padded kxk large-kernel conv for few-channel slabs
+    (PLKSR's 17x17 partial conv, reference plksr/plksr.py:54-81).
+
+    XLA runs PLKSR-S's 17x17 16->16 conv at 7.7 useful TFLOPS (measured:
+    10.0 ms at batch 8, 256^2 — 83% of the whole model's runtime).  This
+    kernel packs P = 128/cin image columns into the lanes so every MXU dot
+    is a dense (th*G, ngs*128) x (ngs*128, 128) tile: for output
+    column-in-group ``a``, packed group shift ``dg`` and input
+    column-in-group ``a2``, the contributing kernel column is
+    ``dx = P*(dg-hg) + a2 - a + k//2`` (the pack2 algebra generalized).
+    Useful:padded FLOP ratio is (k*cin)/(ngs*128) ~= 0.7 at k=17, cin=16 —
+    vs ~1/8 lane padding for the naive layout.
+
+    Measured (v5e, 17x17 16->16, 256^2, batch 8, f32): 5.7-5.9 ms vs XLA's
+    11.3-11.9 (~2x); whole PLKSR-28 4x model 24.97 -> 34.57 MP/s (+38%).
+    compute_dtype='bfloat16' measures the same as f32 (the MXU already runs
+    f32 dots as bf16 passes); the plateau past 2x is VPU-bound
+    (roll/concat/staging of the packed operand), not MXU or DMA.
+
+    ``x``: (H, W, C) or (N, H, W, C); ``w_oihw``: (O, I, k, k).
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, cin = x.shape
+    cout = w_oihw.shape[0]
+    if not lk_conv_available(cin, cout, k):
+        raise ValueError(f'unsupported lk conv: cin={cin} cout={cout} k={k}')
+    p = _LANES // cin
+    pad = k // 2
+    hg = -(-pad // p)  # halo groups per side
+    ngs = 2 * hg + 1
+
+    # weights -> (k*ngs, P*cin, P*cout) via one trace-time-indexed gather
+    import numpy as _np
+
+    wt = jnp.transpose(w_oihw, (2, 3, 1, 0)).astype(jnp.float32)  # (k dy, k dx, ci, co)
+    wt_pad = jnp.pad(wt, ((0, 0), (0, 1), (0, 0), (0, 0)))  # slot k = zeros
+    dgi, a2i, ai = _np.meshgrid(_np.arange(ngs), _np.arange(p), _np.arange(p), indexing='ij')
+    dx = p * (dgi - hg) + a2i - ai + pad
+    dx = _np.where((dx >= 0) & (dx < k), dx, k)  # out of range -> zero slot
+    wk = wt_pad[:, dx]  # (k, ngs, P, P, ci, co)
+    wk = wk.transpose(0, 1, 2, 4, 3, 5).reshape(k, ngs, p * cin, p * cout)
+    wk = jnp.pad(wk, ((0, 0), (0, 0), (0, 0), (0, _LANES - p * cout)))
+    wk = wk.reshape(k, ngs * _LANES, _LANES).astype(compute_dtype)
+
+    bp = jnp.zeros((_LANES,), jnp.float32)
+    if b is not None:
+        bp = bp.at[: p * cout].set(jnp.tile(b.astype(jnp.float32), p))
+
+    hp = _pad_to(h, th)
+    halo_rows = _pad_to(k - 1, 8)
+    wp = _pad_to(w, 8 * p)  # output cols; groups g_out = wp // p (x8 aligned)
+    g_out = wp // p
+    g_in = _pad_to(g_out + 2 * hg, 8)
+    # rows: pad//2... top halo = pad rows, DMA overfetch slack below
+    xp = jnp.pad(
+        x.astype(jnp.float32),
+        ((0, 0), (pad, hp - h + halo_rows - pad), (hg * p, g_in * p - w - hg * p), (0, 0)),
+    )
+    xp = xp.reshape(n, hp + halo_rows, g_in, _LANES)
+
+    kern = functools.partial(_lk_kernel, th=th, k=k, hg=hg, g_out=g_out, interpret=interpret)
+
+    def one(xi):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n, hp, g_out, _LANES), jnp.float32),
+            grid=(n, hp // th),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM if not interpret else pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, th, g_out, _LANES), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((th + halo_rows, g_in, _LANES), jnp.float32),
+                pltpu.VMEM((th + halo_rows, g_in, _LANES), jnp.float32),
+                pltpu.VMEM((th + halo_rows, g_in, ngs * _LANES), jnp.dtype(compute_dtype)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(xi, wk, bp)
+
+    out = one(xp)
+    # lanes hold a*cout + co contiguously
+    out = out[..., : p * cout].reshape(n, hp, g_out, p, cout)
+    out = out.reshape(n, hp, wp, cout)[:, :h, :w, :]
+    act_fn = {'linear': lambda t: t, 'lrelu': lambda t: jnp.where(t >= 0, t, 0.2 * t)}[act]
+    out = act_fn(out)
+    return out[0] if squeeze else out

@@ -90,6 +90,11 @@ def main(argv=None) -> int:
     parser.add_argument('--halo', type=int, default=16, help='tile halo/overlap')
     parser.add_argument('--bf16', action='store_true', help='run compute in bfloat16')
     parser.add_argument(
+        '--fused-attention', action='store_true',
+        help='use the fused Pallas window-attention kernel where shapes allow '
+             '(TPU; DAT/HAT/ATD-class models)',
+    )
+    parser.add_argument(
         '--precision', default=None, choices=['highest', 'tensorfloat32', 'bfloat16'],
         help='matmul/conv precision (default: device-fastest; highest = full-f32 MXU passes)',
     )
@@ -138,6 +143,10 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16
+    if args.fused_attention:
+        from resselt_tpu.nn.window import use_fused_attention
+
+        use_fused_attention(True)
 
     def run_plane(img):
         if args.tile and (img.shape[0] > args.tile or img.shape[1] > args.tile):

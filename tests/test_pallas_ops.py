@@ -92,3 +92,30 @@ def test_window_mha_pallas(n, c, heads, masked):
                                        interpret=True))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('h,w,cin,cout,k', [
+    (40, 256, 16, 16, 17),  # PLKSR-S partial conv shape class
+    (32, 128, 32, 32, 13),
+    (24, 128, 16, 8, 5),
+    (19, 200, 16, 16, 17),  # unaligned h/w
+])
+def test_fused_conv_lk(h, w, cin, cout, k):
+    from resselt_tpu.ops.fused_conv import fused_conv_lk
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, h, w, cin)).astype(np.float32)
+    wt = (rng.standard_normal((cout, cin, k, k)) * 0.05).astype(np.float32)
+    b = rng.standard_normal(cout).astype(np.float32)
+    want = np.asarray(F.conv2d(x, wt, b, padding=k // 2))
+    got = np.asarray(fused_conv_lk(x, wt, b, k=k, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_conv_lk_rejects_bad_shapes():
+    from resselt_tpu.ops.fused_conv import fused_conv_lk
+
+    x = np.zeros((2, 32, 128, 24), np.float32)  # 24 does not divide 128
+    wt = np.zeros((24, 24, 17, 17), np.float32)
+    with pytest.raises(ValueError):
+        fused_conv_lk(x, wt, k=17, interpret=True)
