@@ -62,15 +62,17 @@ def swin_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray | None:
     return mask
 
 
-_FUSED_ATTENTION = False
+_FUSED_ATTENTION = True
 
 
 def use_fused_attention(on: bool) -> None:
     """Route multi_head_attention through the fused Pallas window kernel
-    (ops/window_attention.py) where shapes allow (TPU, N % 128 == 0).
+    (ops/window_attention.py) on shapes where it measured faster than XLA
+    (see ops/window_attention.py::supported — DAT-class windows).
 
-    Off by default; the CLI/bench enable it on TPU. The XLA path remains
-    the reference semantics."""
+    On by default (the dispatch is a no-op on CPU and on shapes where XLA
+    wins); pass False as a kill switch. The XLA path remains the reference
+    semantics; the kernel differs only by a full-f32 softmax."""
     global _FUSED_ATTENTION
     _FUSED_ATTENTION = bool(on)
 

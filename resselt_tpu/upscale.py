@@ -90,9 +90,9 @@ def main(argv=None) -> int:
     parser.add_argument('--halo', type=int, default=16, help='tile halo/overlap')
     parser.add_argument('--bf16', action='store_true', help='run compute in bfloat16')
     parser.add_argument(
-        '--fused-attention', action='store_true',
-        help='use the fused Pallas window-attention kernel where shapes allow '
-             '(TPU; DAT/HAT/ATD-class models)',
+        '--no-fused-attention', action='store_true',
+        help='disable the fused Pallas window-attention kernel (on by default '
+             'on TPU for shapes where it measured faster, e.g. DAT)',
     )
     parser.add_argument(
         '--precision', default=None, choices=['highest', 'tensorfloat32', 'bfloat16'],
@@ -143,10 +143,10 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16
-    if args.fused_attention:
+    if args.no_fused_attention:
         from resselt_tpu.nn.window import use_fused_attention
 
-        use_fused_attention(True)
+        use_fused_attention(False)
 
     def run_plane(img):
         if args.tile and (img.shape[0] > args.tile or img.shape[1] > args.tile):
