@@ -132,7 +132,7 @@ def measure_tpu(model, tile: int, scale: int, batch: int, iters: int = 3) -> flo
 
 def measure_tpu_tiled(model, hw: tuple[int, int], tile: int, scale: int,
                       on_device: bool = True, unroll: int = 1,
-                      batch_size: int | None = None) -> float:
+                      batch_size: int | None = None, dtype=None) -> float:
     """End-to-end tiled-driver throughput on a large input.
 
     Syncs via an on-device reduction + scalar readback instead of copying
@@ -145,11 +145,11 @@ def measure_tpu_tiled(model, hw: tuple[int, int], tile: int, scale: int,
 
     img = np.random.default_rng(0).random((hw[0], hw[1], 3), dtype=np.float32)
     kw = dict(tile=tile, halo=16, on_device=on_device, unroll=unroll,
-              batch_size=batch_size)
-    float(jnp.sum(upscale_tiled(model, img, **kw)))  # compile + warm
+              batch_size=batch_size, dtype=dtype)
+    float(jnp.sum(upscale_tiled(model, img, **kw).astype(jnp.float32)))  # compile + warm
     t0 = time.perf_counter()
     out = upscale_tiled(model, img, **kw)
-    float(jnp.sum(out))
+    float(jnp.sum(out.astype(jnp.float32)))
     dt = time.perf_counter() - t0
     return out.shape[0] * out.shape[1] / 1e6 / dt
 
@@ -212,27 +212,37 @@ def main(argv=None) -> int:
         model = resselt_tpu.load_from_state_dict(_sd_numpy(tm))
         log(f'  detected {model.arch_id}, {model.cost(c["tile"], c["tile"])["flops"] / 1e9:.1f} GFLOP @tile')
         t0 = time.perf_counter()
+        mps_bf16 = None
         if 'tiled_input' in c:
             mps = measure_tpu_tiled(model, c['tiled_input'], c['tile'], c['scale'])
+            import jax.numpy as jnp
+
+            # bf16 is the recommended serving path (quality gated by the
+            # per-family column in parity_report.md)
+            mps_bf16 = measure_tpu_tiled(model, c['tiled_input'], c['tile'], c['scale'],
+                                         dtype=jnp.bfloat16)
         else:
             mps = measure_tpu(model, c['tile'], c['scale'], c['batch'])
-        log(f'  tpu: {mps:.2f} MP/s (measured in {time.perf_counter() - t0:.0f}s)')
+        log(f'  tpu: {mps:.2f} MP/s f32'
+            + (f', {mps_bf16:.2f} bf16' if mps_bf16 else '')
+            + f' (measured in {time.perf_counter() - t0:.0f}s)')
         base = None
         if not args.skip_baseline:
             base = measure_torch_cpu(name, c['model'], c['tile'], c['scale'])
-        rows.append((name, c, mps, base))
+        rows.append((name, c, mps, mps_bf16, base))
 
     lines = [
         '# bench_suite results (BASELINE.json configs, TPU v5e chip)',
         '',
-        '| config | tile/input | batch | TPU MP/s | torch-CPU MP/s | speedup |',
-        '|---|---|---|---|---|---|',
+        '| config | tile/input | batch | TPU MP/s f32 | TPU MP/s bf16 | torch-CPU MP/s | speedup (f32) |',
+        '|---|---|---|---|---|---|---|',
     ]
-    for name, c, mps, base in rows:
+    for name, c, mps, mps_bf16, base in rows:
         size = f'{c["tiled_input"][1]}x{c["tiled_input"][0]} tiled {c["tile"]}' if 'tiled_input' in c else str(c['tile'])
         sp = f'{mps / base:.0f}x' if base else '-'
         bs = f'{base:.3f}' if base else '-'
-        lines.append(f'| {name} | {size} | {c["batch"]} | {mps:.2f} | {bs} | **{sp}** |')
+        b16 = f'{mps_bf16:.2f}' if mps_bf16 else '-'
+        lines.append(f'| {name} | {size} | {c["batch"]} | {mps:.2f} | {b16} | {bs} | **{sp}** |')
     out = '\n'.join(lines) + '\n'
     if not args.only:  # partial runs must not clobber the full table
         open(os.path.join(REPO, 'bench_suite.md'), 'w').write(out)
