@@ -55,6 +55,13 @@ class ModelMetadata:
     name: str
 
 
+def _dispatch_flags() -> tuple:
+    """Current trace-time kernel-dispatch settings, used as jit cache keys."""
+    from ..nn.window import fused_attention_enabled
+
+    return (fused_attention_enabled(),)
+
+
 def _to_jax_params(params: Mapping[str, np.ndarray], keep_dtypes: bool = False):
     out = {}
     for k, v in params.items():
@@ -95,13 +102,23 @@ class SRModel:
         # lose to VMEM pressure and prefer 1-2 (BENCHMARKS.md)
         self.tile_batch: int | None = None
         self._apply_fn = apply_fn
-        self._jitted = jax.jit(functools.partial(apply_fn, config))
 
-        def _apply_prec(prec, params, x):
+        # kernel-dispatch flags (e.g. nn.window.use_fused_attention) are
+        # read at TRACE time; passing them as ignored static args keys the
+        # jit cache on them so flipping a flag retraces instead of silently
+        # reusing an executable compiled under the old setting
+        def _apply(flags, params, x):
+            del flags
+            return apply_fn(config, params, x)
+
+        self._jitted = jax.jit(_apply, static_argnums=0)
+
+        def _apply_prec(flags, prec, params, x):
+            del flags
             with jax.default_matmul_precision(prec):
                 return apply_fn(config, params, x)
 
-        self._jitted_prec = jax.jit(_apply_prec, static_argnums=0)
+        self._jitted_prec = jax.jit(_apply_prec, static_argnums=(0, 1))
 
     @property
     def upscale(self) -> int | Sequence[int]:
@@ -121,6 +138,7 @@ class SRModel:
         cfg = dataclasses.replace(self.config, **overrides)
         clone = SRModel(self.arch_id, cfg, {}, self.metadata, self._apply_fn)
         clone.params = self.params
+        clone.tile_batch = self.tile_batch
         return clone
 
     def apply(self, params, x: jax.Array) -> jax.Array:
@@ -163,10 +181,11 @@ class SRModel:
             x = x.astype(dtype)
         elif x.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
             x = x.astype(jnp.float32)
+        flags = _dispatch_flags()
         if precision is None:
-            y = self._jitted(self.params, x)
+            y = self._jitted(flags, self.params, x)
         else:
-            y = self._jitted_prec(precision, self.params, x)
+            y = self._jitted_prec(flags, precision, self.params, x)
         return y[0] if squeeze else y
 
 

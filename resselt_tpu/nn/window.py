@@ -65,6 +65,10 @@ def swin_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray | None:
 _FUSED_ATTENTION = True
 
 
+def fused_attention_enabled() -> bool:
+    return _FUSED_ATTENTION
+
+
 def use_fused_attention(on: bool) -> None:
     """Route multi_head_attention through the fused Pallas window kernel
     (ops/window_attention.py) on shapes where it measured faster than XLA

@@ -61,16 +61,15 @@ def supported(n: int, c: int, num_heads: int, mask_windows: int | None, batch: i
 
     Measured per-tile bf16 (v5e, 160²/224² tiles): DAT-S (n=128, hd=30)
     57.6 ms fused vs 68.0 XLA; HAT-S (n=256, hd=24) 70.3 vs 67.0; ATD-light
-    (n=256, hd=12) 84.3 vs 81.3.  At n=256 with small head dims the
-    kernel's per-head lane slicing costs more than the saved score-matrix
-    HBM traffic, so those shapes stay on XLA."""
+    (n=256, hd=12) 84.3 vs 81.3.  Every n=256 shape measured was slower
+    fused (the per-head lane slicing costs more than the saved score-matrix
+    HBM traffic), so the gate admits only the measured-winning class:
+    n == 128 windows with head_dim >= 25."""
     if jax.default_backend() == 'cpu':
         return False
-    if n % 128 != 0 or n > 1024:
+    if n != 128:
         return False
-    if c % num_heads != 0:
-        return False
-    if n > 128 and c // num_heads < 25:
+    if c % num_heads != 0 or c // num_heads < 25:
         return False
     if mask_windows is not None and batch % mask_windows != 0:
         return False

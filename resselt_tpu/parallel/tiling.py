@@ -247,7 +247,10 @@ def upscale_tiled(
         if mesh is not None:
             mesh_key = (mesh.axis_names, mesh.devices.shape,
                         tuple(d.id for d in mesh.devices.flat))
-        key = (grid, batch_size, str(image.dtype), precision, mesh_key, unroll)
+        from ..nn.window import fused_attention_enabled
+
+        key = (grid, batch_size, str(image.dtype), precision, mesh_key, unroll,
+               fused_attention_enabled())
         fused = cache.get(key)
         if fused is None:
             fused = _make_fused_tiled_fn(model, grid, scale, batch_size,
