@@ -105,6 +105,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss: str | Callable = 'charbonnier',
     ema_decay: float = 0.0,
+    remat: bool = False,
 ):
     """Build a pure ``(state, lr, hr) -> (state, metrics)`` step function.
 
@@ -121,6 +122,10 @@ def make_train_step(
     resselt/utilities/state_dict.py:16-36)."""
     loss_fn = LOSSES[loss] if isinstance(loss, str) else loss
     model = functools.partial(apply_fn, config)
+    if remat:
+        # trade FLOPs for HBM: recompute activations in the backward pass
+        # instead of stashing them — lets bigger crops/batches fit one chip
+        model = jax.checkpoint(model)
 
     def train_step(state: TrainState, lr_batch, hr_batch):
         trainable, static = split_trainable(state.params)

@@ -97,10 +97,15 @@ def make_swinir(
     upscale: int = 4,
     upsampler: str = 'pixelshuffle',
     in_nc: int = 3,
+    img_size: int = 64,
     seed: int = 0,
 ):
-    """SwinIR layout (reference swinir/arch.py:735-934)."""
+    """SwinIR layout (reference swinir/arch.py:735-934), incl. the per-
+    shifted-block ``attn_mask`` buffers the reference registers at its
+    training resolution (arch.py:268-293)."""
     import math
+
+    from .nn.window import swin_attn_mask
 
     m = _Maker(seed)
     e = embed_dim
@@ -108,9 +113,12 @@ def make_swinir(
     m.t('patch_embed.norm.weight', e)
     m.t('patch_embed.norm.bias', e)
     rpi = relative_position_index(window_size, window_size)
+    mask = swin_attn_mask(img_size, img_size, window_size, window_size // 2)
     for li, (depth, heads) in enumerate(zip(depths, num_heads)):
         for bi in range(depth):
             b = f'layers.{li}.residual_group.blocks.{bi}'
+            if bi % 2 == 1 and mask is not None:
+                m.sd[f'{b}.attn_mask'] = mask
             for nk in ('norm1', 'norm2'):
                 m.t(f'{b}.{nk}.weight', e)
                 m.t(f'{b}.{nk}.bias', e)

@@ -24,7 +24,8 @@ _ZOO_SMALL = {
     # gc must stay 32: the reference loader never infers gc and always
     # builds RRDBNet(gc=32), so real checkpoints are always gc=32
     'esrgan': dict(num_filters=16, num_blocks=1, scale=4),
-    'swinir': dict(embed_dim=16, depths=(1,), num_heads=(2,), window_size=8, upscale=2),
+    # depth 2 covers the shifted block's attn_mask buffer emission
+    'swinir': dict(embed_dim=16, depths=(2,), num_heads=(2,), window_size=8, upscale=2),
     'span': dict(feature_channels=16, upscale=2),
     'mosr': dict(dim=16, n_block=1, upscale=2),
     'hat': dict(embed_dim=24, depths=(1,), num_heads=(3,), window_size=8, upscale=2),

@@ -142,3 +142,26 @@ def test_train_state_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(s1.params['body.0.weight']), np.asarray(s2.params['body.0.weight'])
     )
+
+
+def test_train_step_remat_matches_plain():
+    """remat=True recomputes activations in the backward pass; gradients —
+    and therefore the updated state — must match the plain step exactly."""
+    model = _model()
+    opt = make_optimizer(lr=1e-2)
+    rng = np.random.default_rng(3)
+    hr = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+    lr = hr[:, ::2, ::2, :]
+
+    outs = {}
+    for remat in (False, True):
+        state = init_train_state(model.params, opt)
+        step = jax.jit(make_train_step(model._apply_fn, model.config, opt, remat=remat))
+        for _ in range(2):
+            state, metrics = step(state, lr, hr)
+        outs[remat] = (state, metrics)
+    for k in outs[False][0].params:
+        np.testing.assert_allclose(
+            np.asarray(outs[True][0].params[k]), np.asarray(outs[False][0].params[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k)
+    assert float(outs[True][1]['loss']) == pytest.approx(float(outs[False][1]['loss']), rel=1e-5)

@@ -108,26 +108,38 @@ def _sd_numpy(model):
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
 
 
-def measure_tpu(model, tile: int, scale: int, batch: int, iters: int = 3) -> float:
+def measure_tpu(model, tile: int, scale: int, batch: int, iters: int = 3,
+                min_seconds: float = 2.0) -> float:
     import jax
     import jax.numpy as jnp
 
     x = jnp.asarray(np.random.default_rng(0).random((batch, tile, tile, 3), dtype=np.float32))
     apply_fn = functools.partial(model._apply_fn, model.config)
 
+    # the iteration count is a DEVICE scalar so calibration does not
+    # recompile; fast configs are re-run with enough iterations that the
+    # ~0.1-0.3 s per-dispatch tunnel latency stops polluting the number
     @jax.jit
-    def loop(p, x0):
+    def loop(p, x0, n):
         def body(_, carry):
             y = apply_fn(p, carry)
             return carry + 1e-6 * y[:, :tile, :tile, :]
 
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
 
-    float(loop(model.params, x))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(model.params, x))
-    dt = time.perf_counter() - t0
-    return (tile * scale) ** 2 * batch * iters / 1e6 / dt
+    float(loop(model.params, x, jnp.int32(iters)))  # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        float(loop(model.params, x, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    dt = run(iters)
+    n = iters
+    if dt < min_seconds:
+        n = max(iters, int(iters * min_seconds / max(dt, 1e-3)))
+        dt = run(n)
+    return (tile * scale) ** 2 * batch * n / 1e6 / dt
 
 
 def measure_tpu_tiled(model, hw: tuple[int, int], tile: int, scale: int,

@@ -53,6 +53,8 @@ def main(argv=None) -> int:
     parser.add_argument('--warmup', type=int, default=0, help='linear warmup steps')
     parser.add_argument('--loss', default='charbonnier', choices=['charbonnier', 'l1', 'l2'])
     parser.add_argument('--ema', type=float, default=0.0, help='EMA decay (0 disables; e.g. 0.999)')
+    parser.add_argument('--remat', action='store_true',
+                        help='rematerialize activations in the backward pass (fit bigger crops/batches)')
     parser.add_argument('--save', default=None, help='write fine-tuned model cache (.npz)')
     parser.add_argument('--checkpoint', default=None, help='orbax train-state dir for save/resume')
     parser.add_argument('--checkpoint-every', type=int, default=0, help='save train state every N steps')
@@ -112,7 +114,8 @@ def main(argv=None) -> int:
     p_shard = param_sharding(mesh, state.params)
     state = state._replace(params={k: jax.device_put(v, p_shard[k]) for k, v in state.params.items()})
     step_fn = jax.jit(
-        make_train_step(model._apply_fn, model.config, optimizer, loss=args.loss, ema_decay=args.ema),
+        make_train_step(model._apply_fn, model.config, optimizer, loss=args.loss,
+                        ema_decay=args.ema, remat=args.remat),
         donate_argnums=(0,),
     )
 
