@@ -76,22 +76,43 @@ def supported(n: int, c: int, num_heads: int, mask_windows: int | None, batch: i
     return True
 
 
-@functools.partial(jax.jit, static_argnames=('num_heads', 'scale', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('num_heads', 'scale', 'interpret', 'head_pad'))
 def window_mha_pallas(q, k, v, bias, mask=None, *, num_heads: int, scale: float,
-                      interpret: bool = False):
+                      interpret: bool = False, head_pad: int | None = None):
     """Fused window MHA.
 
     q/k/v: (B, N, C) projected per-window tokens (B = batch * nW);
     bias: (num_heads, N, N) additive (relative position bias);
     mask: (nW, N, N) additive shift mask or None.  Returns (B, N, C).
+
+    ``head_pad``: zero-pad every head to this many lanes host-side so the
+    kernel's per-head slices land on aligned lane offsets (must divide 128
+    and be >= head_dim).  Costs head_pad/head_dim extra qkv traffic.
+    Measured (v5e, bf16): at n=256 it recovers the unaligned-slice penalty
+    but only reaches parity with XLA (HAT-S 66.9 vs 68.0 ms/tile; ATD
+    neutral); at n=128 the host-side re-layout overhead makes it a LOSS
+    (DAT-S 67.6 vs 58.3 without).  It therefore stays off in the default
+    dispatch — kept as a validated option for future shapes.
     """
     b_, n, c = q.shape
     hd = c // num_heads
     nw = mask.shape[0] if mask is not None else 1
     b = b_ // nw
-    cp = -(-c // 128) * 128
-    if cp != c:
-        pad = ((0, 0), (0, 0), (0, cp - c))
+    if head_pad is not None and head_pad != hd:
+        if head_pad < hd or 128 % head_pad:
+            raise ValueError(f'head_pad {head_pad} invalid for head_dim {hd}')
+        pad_each = ((0, 0), (0, 0), (0, 0), (0, head_pad - hd))
+        q, k, v = (
+            jnp.pad(t.reshape(b_, n, num_heads, hd), pad_each).reshape(b_, n, num_heads * head_pad)
+            for t in (q, k, v)
+        )
+        c_run = num_heads * head_pad
+        hd_run = head_pad
+    else:
+        c_run, hd_run = c, hd
+    cp = -(-c_run // 128) * 128
+    if cp != c_run:
+        pad = ((0, 0), (0, 0), (0, cp - c_run))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     q = q.reshape(b, nw, n, cp)
     k = k.reshape(b, nw, n, cp)
@@ -108,7 +129,7 @@ def window_mha_pallas(q, k, v, bias, mask=None, *, num_heads: int, scale: float,
         mask_spec = pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0))
         mask_arg = jnp.zeros((1, 1, 1), q.dtype)
 
-    kernel = functools.partial(_kernel, heads=num_heads, hd=hd, cp=cp,
+    kernel = functools.partial(_kernel, heads=num_heads, hd=hd_run, cp=cp,
                                scale=scale, have_mask=have_mask)
     out = pl.pallas_call(
         kernel,
@@ -118,5 +139,7 @@ def window_mha_pallas(q, k, v, bias, mask=None, *, num_heads: int, scale: float,
         out_shape=jax.ShapeDtypeStruct((b, nw, n, cp), q.dtype),
         interpret=interpret,
     )(q, k, v, bias.astype(jnp.float32), mask_arg)
-    out = out.reshape(b_, n, cp)
-    return out[:, :, :c] if cp != c else out
+    out = out.reshape(b_, n, cp)[:, :, : num_heads * hd_run]
+    if hd_run != hd:
+        out = out.reshape(b_, n, num_heads, hd_run)[..., :hd].reshape(b_, n, c)
+    return out

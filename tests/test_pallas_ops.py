@@ -119,3 +119,27 @@ def test_fused_conv_lk_rejects_bad_shapes():
     wt = np.zeros((24, 24, 17, 17), np.float32)
     with pytest.raises(ValueError):
         fused_conv_lk(x, wt, k=17, interpret=True)
+
+
+@pytest.mark.parametrize('n,c,heads,head_pad', [
+    (256, 144, 6, 32),   # HAT-S shapes, heads padded to aligned lanes
+    (256, 48, 4, 16),    # ATD-light shapes
+    (128, 180, 6, 32),
+])
+def test_window_mha_pallas_head_pad(n, c, heads, head_pad):
+    import jax.numpy as jnp
+
+    from resselt_tpu.nn.window import multi_head_attention
+    from resselt_tpu.ops.window_attention import window_mha_pallas
+
+    rng = np.random.default_rng(1)
+    nw, b = 4, 2
+    q, k, v = (jnp.asarray(rng.standard_normal((b * nw, n, c), np.float32)) for _ in range(3))
+    hd = c // heads
+    bias = jnp.asarray(rng.standard_normal((heads, n, n), np.float32) * 0.1)
+    mask = jnp.asarray(np.where(rng.random((nw, n, n)) < 0.2, -100.0, 0.0).astype(np.float32))
+    scale = hd**-0.5
+    want = np.asarray(multi_head_attention(q, k, v, heads, scale, bias=bias, mask=mask))
+    got = np.asarray(window_mha_pallas(q, k, v, bias, mask, num_heads=heads, scale=scale,
+                                       interpret=True, head_pad=head_pad))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
