@@ -185,6 +185,7 @@ def upscale_tiled(
     precision: str | None = None,
     on_device: bool | None = None,
     unroll: int = 1,
+    bucket: bool = False,
 ):
     """Run an SRModel over a large image via overlap tiling.
 
@@ -198,13 +199,33 @@ def upscale_tiled(
     through a remote-TPU tunnel.  Set False for the per-batch host loop
     (per-tile progress logging, lower peak memory on huge grids).
     ``unroll`` unrolls the on-device scan (straight-line XLA) — try >1 if a
-    large transformer body scans pathologically (see BENCHMARKS.md)."""
+    large transformer body scans pathologically (see BENCHMARKS.md).
+
+    ``bucket`` pads (H, W) up to the next tile multiples (reflect) and
+    crops the output, so all image sizes in a bucket share ONE compiled
+    grid instead of compiling per exact size — the serving analogue of
+    ``upscale_padded``'s shape bucketing.  Interior output is unchanged;
+    pixels within the model's receptive field of the pad seam can differ
+    slightly from the model's own border handling."""
     image = jnp.asarray(image)
     if image.ndim != 3:
         raise ValueError('upscale_tiled expects an HWC image')
     scale = model.metadata.upscale
     if not isinstance(scale, int):
         raise ValueError('tiled driver requires an integer upscale factor')
+
+    h0, w0, _ = image.shape
+    if bucket:
+        ph = -h0 % tile
+        pw = -w0 % tile
+        if ph or pw:
+            mode = 'reflect' if (ph < h0 and pw < w0) else 'edge'
+            image = jnp.pad(image, ((0, ph), (0, pw), (0, 0)), mode=mode)
+            out = upscale_tiled(model, image, tile=tile, halo=halo,
+                                batch_size=batch_size, mesh=mesh, dtype=dtype,
+                                precision=precision, on_device=on_device,
+                                unroll=unroll, bucket=False)
+            return out[: h0 * scale, : w0 * scale, :]
 
     h, w, _ = image.shape
     window = tile + 2 * halo

@@ -88,6 +88,9 @@ def main(argv=None) -> int:
     parser.add_argument('output', help='output image or directory')
     parser.add_argument('--tile', type=int, default=0, help='tile size for tiled inference (0 = whole image)')
     parser.add_argument('--halo', type=int, default=16, help='tile halo/overlap')
+    parser.add_argument('--bucket', action='store_true',
+                        help='pad inputs to tile multiples so mixed-size batches share one '
+                             'compiled tile grid (slight border deviation within the halo)')
     parser.add_argument('--bf16', action='store_true', help='run compute in bfloat16')
     parser.add_argument(
         '--no-fused-attention', action='store_true',
@@ -151,7 +154,8 @@ def main(argv=None) -> int:
     def run_plane(img):
         if args.tile and (img.shape[0] > args.tile or img.shape[1] > args.tile):
             return upscale_tiled(
-                model, img, tile=args.tile, halo=args.halo, dtype=dtype, precision=args.precision
+                model, img, tile=args.tile, halo=args.halo, dtype=dtype,
+                precision=args.precision, bucket=args.bucket
             )
         return model(img, dtype=dtype, precision=args.precision)
 

@@ -115,6 +115,26 @@ def test_tiled_on_device_matches_host_loop():
     np.testing.assert_allclose(unrolled, host, atol=1e-6)
 
 
+def test_tiled_bucket_shares_grid_and_matches_interior():
+    # bucket=True pads to tile multiples: two different sizes in one bucket
+    # reuse a single compiled grid, and interior pixels match the exact run
+    model = _compact_model()
+    img = np.random.default_rng(5).random((70, 90, 3), dtype=np.float32)
+    exact = np.asarray(upscale_tiled(model, img, tile=32, halo=8))
+    bucketed = np.asarray(upscale_tiled(model, img, tile=32, halo=8, bucket=True))
+    assert bucketed.shape == exact.shape
+    # away from the pad seam (bottom/right) the outputs agree
+    err = np.abs(bucketed[:100, :100] - exact[:100, :100]).max()
+    assert err < 1e-4, err
+    # a second size in the same bucket hits the cached grid (same key)
+    img2 = np.random.default_rng(6).random((65, 82, 3), dtype=np.float32)
+    cache = model.__dict__['_tiled_fn_cache']
+    n_before = len(cache)
+    out2 = np.asarray(upscale_tiled(model, img2, tile=32, halo=8, bucket=True))
+    assert out2.shape == (130, 164, 3)
+    assert len(cache) == n_before  # no new compilation
+
+
 def test_tiled_on_device_with_mesh():
     import jax
 
