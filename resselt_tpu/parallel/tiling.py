@@ -140,6 +140,19 @@ def _make_fused_tiled_fn(model, grid: TileGrid, scale: int, batch_size: int,
     return jax.jit(fn)
 
 
+def _pad_to_multiple_hw(image, multiple: int):
+    """Pad the trailing-spatial dims up to multiples (reflect; edge when the
+    image is smaller than the pad). Returns (padded, orig_h, orig_w)."""
+    h, w = image.shape[-3], image.shape[-2]
+    ph = -h % multiple
+    pw = -w % multiple
+    if ph or pw:
+        mode = 'reflect' if (ph < h and pw < w) else 'edge'
+        pads = [(0, 0)] * (image.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+        image = jnp.pad(image, pads, mode=mode)
+    return image, h, w
+
+
 def upscale_padded(
     model,
     image,
@@ -163,12 +176,7 @@ def upscale_padded(
     scale = model.metadata.upscale
     if not isinstance(scale, int):
         raise ValueError('upscale_padded requires an integer upscale factor')
-    _, h, w, _ = image.shape
-    ph = -h % multiple
-    pw = -w % multiple
-    if ph or pw:
-        mode = 'reflect' if (ph < h and pw < w) else 'edge'
-        image = jnp.pad(image, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
+    image, h, w = _pad_to_multiple_hw(image, multiple)
     out = model(image, dtype=dtype, precision=precision)
     out = out[:, : h * scale, : w * scale, :]
     return out[0] if squeeze else out
@@ -216,11 +224,8 @@ def upscale_tiled(
 
     h0, w0, _ = image.shape
     if bucket:
-        ph = -h0 % tile
-        pw = -w0 % tile
-        if ph or pw:
-            mode = 'reflect' if (ph < h0 and pw < w0) else 'edge'
-            image = jnp.pad(image, ((0, ph), (0, pw), (0, 0)), mode=mode)
+        image, _, _ = _pad_to_multiple_hw(image, tile)
+        if image.shape[0] != h0 or image.shape[1] != w0:
             out = upscale_tiled(model, image, tile=tile, halo=halo,
                                 batch_size=batch_size, mesh=mesh, dtype=dtype,
                                 precision=precision, on_device=on_device,

@@ -157,6 +157,13 @@ def main(argv=None) -> int:
                 model, img, tile=args.tile, halo=args.halo, dtype=dtype,
                 precision=args.precision, bucket=args.bucket
             )
+        if args.tile and args.bucket:
+            # small images bucket too: pad to the tile so mixed-size
+            # directories share one compilation instead of one per size
+            from resselt_tpu.parallel import upscale_padded
+
+            return upscale_padded(model, img, multiple=args.tile, dtype=dtype,
+                                  precision=args.precision)
         return model(img, dtype=dtype, precision=args.precision)
 
     def run(img):

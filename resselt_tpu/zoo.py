@@ -113,7 +113,12 @@ def make_swinir(
     m.t('patch_embed.norm.weight', e)
     m.t('patch_embed.norm.bias', e)
     rpi = relative_position_index(window_size, window_size)
-    mask = swin_attn_mask(img_size, img_size, window_size, window_size // 2)
+    # the reference registers shift masks only when the training resolution
+    # tiles evenly into shifted windows (swinir/arch.py:234-293); ws=7
+    # classical configs and img_size <= ws carry no attn_mask keys
+    mask = None
+    if img_size > window_size and img_size % window_size == 0:
+        mask = swin_attn_mask(img_size, img_size, window_size, window_size // 2)
     for li, (depth, heads) in enumerate(zip(depths, num_heads)):
         for bi in range(depth):
             b = f'layers.{li}.residual_group.blocks.{bi}'

@@ -134,12 +134,18 @@ def measure_tpu(model, tile: int, scale: int, batch: int, iters: int = 3,
         float(loop(model.params, x, jnp.int32(n)))
         return time.perf_counter() - t0
 
-    dt = run(iters)
-    n = iters
-    if dt < min_seconds:
-        n = max(iters, int(iters * min_seconds / max(dt, 1e-3)))
-        dt = run(n)
-    return (tile * scale) ** 2 * batch * n / 1e6 / dt
+    # rate from the DELTA of two run lengths: subtracting the short run
+    # cancels the fixed per-dispatch latency (~0.1-0.3 s through the
+    # tunnel) that otherwise floors short measurements. The first (dirty)
+    # run UNDERestimates speed, so the derived n2 gives >= min_seconds of
+    # genuine extra device work.
+    dt1 = run(iters)
+    if dt1 >= 4 * min_seconds:  # slow config: latency is already negligible
+        return (tile * scale) ** 2 * batch * iters / 1e6 / dt1
+    n2 = iters + max(iters, int(iters * min_seconds / max(dt1, 1e-3)) + 1)
+    dt2 = run(n2)
+    per_iter = max(dt2 - dt1, 1e-6) / (n2 - iters)
+    return (tile * scale) ** 2 * batch / 1e6 / per_iter
 
 
 def measure_tpu_tiled(model, hw: tuple[int, int], tile: int, scale: int,
