@@ -182,20 +182,34 @@ def main(argv=None) -> int:
         return np.asarray(q)
 
     def run_all():
+        # overlap host-side IO with device compute: the next image decodes
+        # while the device runs, and PNG encode/write happens behind the
+        # next dispatch (a 16K PNG encode costs seconds)
+        from concurrent.futures import ThreadPoolExecutor
+
         total_mp = 0.0
         t1 = time.perf_counter()
-        for src, dst in pairs:
-            img = load_image(src)
-            logger.info('input %s %dx%d', src, img.shape[1], img.shape[0])
-            ts = time.perf_counter()
-            out = np.asarray(run(img))
-            dt = time.perf_counter() - ts
-            mp = out.shape[0] * out.shape[1] / 1e6
-            total_mp += mp
-            logger.info('upscaled to %dx%d in %.2fs (%.2f MP out, incl. compile)',
-                        out.shape[1], out.shape[0], dt, mp)
-            save_image(dst, out)
-            logger.info('wrote %s', dst)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            next_img = pool.submit(load_image, pairs[0][0])
+            pending_write = None
+            for i, (src, dst) in enumerate(pairs):
+                img = next_img.result()
+                if i + 1 < len(pairs):
+                    next_img = pool.submit(load_image, pairs[i + 1][0])
+                logger.info('input %s %dx%d', src, img.shape[1], img.shape[0])
+                ts = time.perf_counter()
+                out = np.asarray(run(img))
+                dt = time.perf_counter() - ts
+                mp = out.shape[0] * out.shape[1] / 1e6
+                total_mp += mp
+                logger.info('upscaled to %dx%d in %.2fs (%.2f MP out, incl. compile)',
+                            out.shape[1], out.shape[0], dt, mp)
+                if pending_write is not None:
+                    pending_write.result()
+                pending_write = pool.submit(save_image, dst, out)
+                logger.info('writing %s', dst)
+            if pending_write is not None:
+                pending_write.result()
         if len(pairs) > 1:
             dt = time.perf_counter() - t1
             logger.info('%d images, %.2f MP total in %.2fs (%.2f MP/s)',
