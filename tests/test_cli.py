@@ -131,3 +131,28 @@ def test_inspect_cli(tmp_path, capsys):
     assert info['upscale'] == 2
     assert info['params'] > 0
     assert info['cost_at_size']['gflops'] > 0
+
+
+def test_cli_batch_mixed_sizes_bucketed(tmp_path):
+    """Mixed-size directory with --bucket + --tile: the threaded IO overlap
+    path must write every output at the right size (tiled and small-image
+    bucket branches both exercised)."""
+    import os
+
+    rng = np.random.default_rng(4)
+    model = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
+    save_model(model, str(tmp_path / 'm.npz'))
+
+    src = tmp_path / 'in'
+    src.mkdir()
+    sizes = [(40, 56), (37, 50), (12, 20)]  # two tiled-bucket sizes + one small
+    for i, (h, w) in enumerate(sizes):
+        _save_png(str(src / f'{i}.png'), (rng.random((h, w, 3)) * 255).astype('uint8'))
+    dst = tmp_path / 'out'
+    assert upscale_main([str(tmp_path / 'm.npz'), str(src), str(dst),
+                         '--tile', '16', '--halo', '4', '--bucket']) == 0
+    from PIL import Image
+
+    for i, (h, w) in enumerate(sizes):
+        out = Image.open(dst / f'{i}.png')
+        assert out.size == (w * 2, h * 2), (i, out.size)
