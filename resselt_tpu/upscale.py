@@ -187,29 +187,44 @@ def main(argv=None) -> int:
         # next dispatch (a 16K PNG encode costs seconds)
         from concurrent.futures import ThreadPoolExecutor
 
+        def write_out(dst, out):
+            save_image(dst, out)
+            logger.info('wrote %s', dst)
+
         total_mp = 0.0
         t1 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=2) as pool:
             next_img = pool.submit(load_image, pairs[0][0])
             pending_write = None
-            for i, (src, dst) in enumerate(pairs):
-                img = next_img.result()
-                if i + 1 < len(pairs):
-                    next_img = pool.submit(load_image, pairs[i + 1][0])
-                logger.info('input %s %dx%d', src, img.shape[1], img.shape[0])
-                ts = time.perf_counter()
-                out = np.asarray(run(img))
-                dt = time.perf_counter() - ts
-                mp = out.shape[0] * out.shape[1] / 1e6
-                total_mp += mp
-                logger.info('upscaled to %dx%d in %.2fs (%.2f MP out, incl. compile)',
-                            out.shape[1], out.shape[0], dt, mp)
+            try:
+                for i, (src, dst) in enumerate(pairs):
+                    img = next_img.result()
+                    next_img = None
+                    if i + 1 < len(pairs):
+                        next_img = pool.submit(load_image, pairs[i + 1][0])
+                    logger.info('input %s %dx%d', src, img.shape[1], img.shape[0])
+                    ts = time.perf_counter()
+                    out = np.asarray(run(img))
+                    dt = time.perf_counter() - ts
+                    mp = out.shape[0] * out.shape[1] / 1e6
+                    total_mp += mp
+                    logger.info('upscaled to %dx%d in %.2fs (%.2f MP out, incl. compile)',
+                                out.shape[1], out.shape[0], dt, mp)
+                    if pending_write is not None:
+                        pending_write.result()  # surface write failures promptly
+                    pending_write = pool.submit(write_out, dst, out)
                 if pending_write is not None:
                     pending_write.result()
-                pending_write = pool.submit(save_image, dst, out)
-                logger.info('writing %s', dst)
-            if pending_write is not None:
-                pending_write.result()
+                    pending_write = None
+            finally:
+                # on error: drain in-flight futures so their exceptions are
+                # attributed here, not dropped as GC-time warnings
+                for fut in (next_img, pending_write):
+                    if fut is not None:
+                        try:
+                            fut.result()
+                        except Exception as e:  # noqa: BLE001 - secondary failure
+                            logger.error('background IO failed: %s', e)
         if len(pairs) > 1:
             dt = time.perf_counter() - t1
             logger.info('%d images, %.2f MP total in %.2fs (%.2f MP/s)',

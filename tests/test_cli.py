@@ -145,7 +145,9 @@ def test_cli_batch_mixed_sizes_bucketed(tmp_path):
 
     src = tmp_path / 'in'
     src.mkdir()
-    sizes = [(40, 56), (37, 50), (12, 20)]  # two tiled-bucket sizes + one small
+    sizes = [(40, 56), (37, 50), (12, 14)]  # two tiled-bucket sizes + one
+    # fully-small image (both dims <= tile) that must hit the
+    # upscale_padded small-image bucket branch
     for i, (h, w) in enumerate(sizes):
         _save_png(str(src / f'{i}.png'), (rng.random((h, w, 3)) * 255).astype('uint8'))
     dst = tmp_path / 'out'
