@@ -43,14 +43,14 @@ def _dyn_pos_bias(p: PTree, biases, num_heads: int):
     """DynamicPosBias, residual=False (dat/arch.py:104-143)."""
     pos = F.linear(biases, p['pos_proj.weight'], p.get('pos_proj.bias'))
 
-    def seq(name, t, out=False):
+    def seq(name, t):
         t = F.layer_norm(t, p[f'{name}.0.weight'], p[f'{name}.0.bias'])
         t = F.relu(t)
         return F.linear(t, p[f'{name}.2.weight'], p.get(f'{name}.2.bias'))
 
     pos = seq('pos1', pos)
     pos = seq('pos2', pos)
-    return seq('pos3', pos, out=True)
+    return seq('pos3', pos)
 
 
 def _img2windows(x, hsp: int, wsp: int):
@@ -85,12 +85,6 @@ def _spatial_branch(p: PTree, q, k, v, hsp: int, wsp: int, heads: int, mask):
     mask_j = None if mask is None else jnp.asarray(mask, q.dtype)
     out = multi_head_attention(qw, kw, vw, heads, scale, bias=bias, mask=mask_j)
     return _windows2img(out, hsp, wsp, h, w)
-
-
-def _interaction(p: PTree, x):
-    """dwconv / channel_interaction / spatial_interaction stacks share this
-    conv+BN+GELU pattern (dat/arch.py:344-361)."""
-    return x
 
 
 def _adaptive_spatial_attn(p: PTree, x, cfg: DATConfig, heads: int, shifted: bool):

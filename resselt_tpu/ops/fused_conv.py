@@ -353,9 +353,26 @@ def _lk_kernel(x_hbm, w_ref, b_ref, o_ref, s0, s1, wide_ref, sem0, sem1, *, th: 
     o_ref[0] = acc.reshape(th, g_out, _LANES)
 
 
+_FUSED_LK = True
+
+
+def fused_lk_enabled() -> bool:
+    return _FUSED_LK
+
+
+def use_fused_lk(on: bool) -> None:
+    """Route PLKSR-style large-kernel partial convs through fused_conv_lk on
+    TPU (measured 2x vs XLA at PLKSR-S shapes). Pass False as a kill switch —
+    mirrors nn.window.use_fused_attention so a faulty shape on a new backend
+    can be disabled without a code change; keyed into jit caches via
+    core.factory._dispatch_flags."""
+    global _FUSED_LK
+    _FUSED_LK = bool(on)
+
+
 def lk_conv_available(cin: int, cout: int, k: int) -> bool:
     """Shapes fused_conv_lk supports: packed columns must fill the lanes."""
-    return cin in (8, 16, 32, 64) and 0 < cout <= cin and _LANES % cin == 0 and k % 2 == 1
+    return _FUSED_LK and cin in (8, 16, 32, 64) and 0 < cout <= cin and _LANES % cin == 0 and k % 2 == 1
 
 
 @functools.partial(jax.jit, static_argnames=('k', 'act', 'th', 'interpret', 'compute_dtype'))

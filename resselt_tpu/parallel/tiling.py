@@ -25,6 +25,9 @@ import jax.numpy as jnp
 
 logger = logging.getLogger('resselt_tpu.tiling')
 
+# max jitted tiled-forward callables kept per model (see LRU in upscale_tiled)
+_TILED_FN_CACHE_MAX = 8
+
 
 @dataclass(frozen=True)
 class TileGrid:
@@ -268,20 +271,30 @@ def upscale_tiled(
             image = image.astype(dtype)
         elif image.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
             image = image.astype(jnp.float32)
-        cache = model.__dict__.setdefault('_tiled_fn_cache', {})
+        # Bounded LRU: each entry holds a jitted callable plus its compiled
+        # executable, so unbounded growth when serving many distinct image
+        # sizes without bucket=True would leak memory (advisor r2). Varied-
+        # size serving beyond this bound should pass bucket=True.
+        from collections import OrderedDict
+
+        cache = model.__dict__.setdefault('_tiled_fn_cache', OrderedDict())
         mesh_key = None
         if mesh is not None:
             mesh_key = (mesh.axis_names, mesh.devices.shape,
                         tuple(d.id for d in mesh.devices.flat))
-        from ..nn.window import fused_attention_enabled
+        from ..core.factory import _dispatch_flags
 
         key = (grid, batch_size, str(image.dtype), precision, mesh_key, unroll,
-               fused_attention_enabled())
+               _dispatch_flags())
         fused = cache.get(key)
         if fused is None:
             fused = _make_fused_tiled_fn(model, grid, scale, batch_size,
                                          precision, mesh, unroll)
             cache[key] = fused
+            while len(cache) > _TILED_FN_CACHE_MAX:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(key)
         return fused(model.params, image)
 
     # host-loop path: one dispatch per tile batch (per-batch progress

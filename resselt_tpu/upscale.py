@@ -98,6 +98,11 @@ def main(argv=None) -> int:
              'on TPU for shapes where it measured faster, e.g. DAT)',
     )
     parser.add_argument(
+        '--no-fused-lk', action='store_true',
+        help='disable the fused Pallas large-kernel conv (on by default on '
+             'TPU for PLKSR-class shapes where it measured 2x XLA)',
+    )
+    parser.add_argument(
         '--precision', default=None, choices=['highest', 'tensorfloat32', 'bfloat16'],
         help='matmul/conv precision (default: device-fastest; highest = full-f32 MXU passes)',
     )
@@ -150,6 +155,10 @@ def main(argv=None) -> int:
         from resselt_tpu.nn.window import use_fused_attention
 
         use_fused_attention(False)
+    if args.no_fused_lk:
+        from resselt_tpu.ops.fused_conv import use_fused_lk
+
+        use_fused_lk(False)
 
     def run_plane(img):
         if args.tile and (img.shape[0] > args.tile or img.shape[1] > args.tile):
