@@ -141,21 +141,18 @@ def _rrdb(p: PTree, x, plus: bool):
     return out * 0.2 + x
 
 
-def apply(cfg: ESRGANConfig, params, x):
-    p = PTree(params)
+def _head(cfg: ESRGANConfig, p: PTree, x):
+    """Input shuffle + first conv; returns (feat, (h, w)) for the tail crop."""
     sf = cfg.shuffle_factor
-    run_scale = cfg.scale // sf if sf else cfg.scale
     h, w = x.shape[1], x.shape[2]
     if sf:
         x = F.pad2d(x, (0, (sf - w % sf) % sf, 0, (sf - h % sf) % sf), mode='reflect')
         x = F.pixel_unshuffle(x, sf)
+    return p.conv('model.0', x, padding=1), (h, w)
 
-    feat = p.conv('model.0', x, padding=1)
-    body = feat
-    num_blocks = cfg.num_blocks
-    for i in range(num_blocks):
-        body = _rrdb(p.sub(f'model.1.sub.{i}'), body, cfg.plus)
-    body = p.conv(f'model.1.sub.{num_blocks}', body, padding=1)
+
+def _tail(cfg: ESRGANConfig, p: PTree, feat, body, hw):
+    body = p.conv(f'model.1.sub.{cfg.num_blocks}', body, padding=1)
     out = feat + body
 
     n_up = int(math.log2(cfg.scale)) if cfg.scale != 3 else 1
@@ -167,9 +164,43 @@ def apply(cfg: ESRGANConfig, params, x):
     out = F.leaky_relu(p.conv(f'model.{max_upconv + 2}', out, padding=1), 0.2)
     out = p.conv(f'model.{max_upconv + 4}', out, padding=1)
 
-    if sf:
-        out = out[:, : h * run_scale, : w * run_scale]
+    if cfg.shuffle_factor:
+        run_scale = cfg.scale // cfg.shuffle_factor
+        out = out[:, : hw[0] * run_scale, : hw[1] * run_scale]
     return out
+
+
+def apply(cfg: ESRGANConfig, params, x):
+    p = PTree(params)
+    feat, hw = _head(cfg, p, x)
+    body = feat
+    for i in range(cfg.num_blocks):
+        body = _rrdb(p.sub(f'model.1.sub.{i}'), body, cfg.plus)
+    return _tail(cfg, p, feat, body, hw)
+
+
+def apply_pipelined(cfg: ESRGANConfig, params, x, mesh, axis: str = 'pp',
+                    num_microbatches: int | None = None):
+    """``apply`` with the RRDB trunk executed by the GPipe pipeline executor
+    (``parallel/pipeline.py``) over mesh axis ``axis``; head/tail convs run
+    replicated.  Output-equivalent to ``apply`` (trunk structure:
+    resselt/utilities/block.py:277-345).  The 23 RRDBs are chunked into
+    ``mesh.shape[axis]`` equal stages, padding the last stage with masked-out
+    blocks when the count does not divide evenly."""
+    from ..parallel.pipeline import chunk_blocks, masked_stage_fn, pipeline_apply
+
+    p = PTree(params)
+    feat, hw = _head(cfg, p, x)
+
+    per_block = []
+    for i in range(cfg.num_blocks):
+        pref = f'model.1.sub.{i}.'
+        per_block.append({k[len(pref):]: v for k, v in params.items() if k.startswith(pref)})
+    stacked = chunk_blocks(per_block, mesh.shape[axis])
+    stage = masked_stage_fn(lambda bp, h: _rrdb(PTree(bp), h, cfg.plus))
+    body = pipeline_apply(stage, stacked, feat, mesh, axis=axis,
+                          num_microbatches=num_microbatches)
+    return _tail(cfg, p, feat, body, hw)
 
 
 def _load(sd) -> SRModel:

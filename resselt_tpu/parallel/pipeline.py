@@ -17,12 +17,53 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def stack_stages(per_stage_params: list) -> dict:
     """Stack a list of per-stage param pytrees on a new leading axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_stage_params)
+
+
+def chunk_blocks(per_block_params: list, n_stages: int) -> dict:
+    """Chunk a uniform block stack (e.g. ESRGAN's 23 RRDBs) into
+    ``n_stages`` equal pipeline stages.
+
+    Each stage runs ``ceil(n_blocks / n_stages)`` blocks; when the count
+    does not divide evenly the last stage is padded with copies of block 0
+    that are masked out at run time.  Returns stacked stage params
+    ``{'blocks': leaves (n_stages, k, ...), 'mask': (n_stages, k) bool}``
+    for ``pipeline_apply`` with a ``masked_stage_fn``-built stage."""
+    nb = len(per_block_params)
+    k = -(-nb // n_stages)
+    mask = np.zeros((n_stages, k), bool)
+    rows = []
+    for s in range(n_stages):
+        row = []
+        for j in range(k):
+            i = s * k + j
+            row.append(per_block_params[i if i < nb else 0])
+            mask[s, j] = i < nb
+        rows.append(jax.tree.map(lambda *xs: jnp.stack(xs), *row))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+    return {'blocks': stacked, 'mask': jnp.asarray(mask)}
+
+
+def masked_stage_fn(block_fn):
+    """Build a ``pipeline_apply`` stage from a per-block ``block_fn(params,
+    x) -> x`` run over the stage's ``chunk_blocks`` stack; padding blocks
+    pass the activation through unchanged."""
+
+    def stage(sparams, x):
+        def tick(h, blk):
+            bp, enabled = blk
+            return jnp.where(enabled, block_fn(bp, h), h), None
+
+        h, _ = jax.lax.scan(tick, x, (sparams['blocks'], sparams['mask']))
+        return h
+
+    return stage
 
 
 def pipeline_apply(

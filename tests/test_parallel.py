@@ -157,6 +157,36 @@ def test_tiled_with_mesh():
     assert np.abs(tiled - whole).max() < 1e-4
 
 
+def test_tiled_tp_sharded_matches():
+    """tp-sharded serving: model params sharded over a (dp=2, tp=2) mesh's
+    tp axis, tiles over dp, through the on-device tiled driver — output
+    must match the single-device whole-image forward."""
+    import copy
+
+    import jax
+
+    from resselt_tpu.parallel.mesh import shard_params
+    from resselt_tpu.zoo import make_esrgan
+
+    if len(jax.devices()) < 4:
+        pytest.skip('needs 4 devices')
+    import resselt_tpu
+
+    model = resselt_tpu.load_from_state_dict(
+        make_esrgan(num_filters=16, num_blocks=2, scale=2)
+    )
+    img = np.random.default_rng(7).random((48, 64, 3), dtype=np.float32)
+    whole = np.asarray(model(img))
+
+    mesh = make_mesh(n_devices=4, tp=2, axis_names=('dp', 'tp'))
+    sharded = copy.copy(model)
+    sharded.__dict__.pop('_tiled_fn_cache', None)
+    sharded.params = shard_params(mesh, model.params, min_size=1)
+    tiled = np.asarray(upscale_tiled(sharded, img, tile=16, halo=8, mesh=mesh, on_device=True))
+    assert tiled.shape == whole.shape
+    assert np.abs(tiled - whole).max() < 1e-4
+
+
 def test_train_step_decreases_loss():
     import jax.numpy as jnp
 

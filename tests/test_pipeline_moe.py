@@ -95,3 +95,48 @@ def test_moe_ep_rejects_indivisible():
     params = init_moe_params(jax.random.PRNGKey(0), d=8, d_hidden=8, n_experts=n + 1)
     with pytest.raises(ValueError):
         moe_apply_ep(params, jnp.zeros((4, 8)), mesh, 'ep')
+
+
+def test_pipeline_esrgan_matches_sequential():
+    """A real registered model through the pp executor (not synthetic
+    stages): ESRGAN's RRDB trunk split over 4 pipeline stages, with 6
+    blocks on 4 stages exercising the masked-padding path."""
+    import resselt_tpu
+    from resselt_tpu.archs.esrgan import apply_pipelined
+    from resselt_tpu.zoo import make_esrgan
+
+    n = 4
+    if len(jax.devices()) < n:
+        pytest.skip('not enough devices')
+    model = resselt_tpu.load_from_state_dict(
+        make_esrgan(num_filters=16, num_blocks=6, scale=2)
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((4, 24, 24, 3), dtype=np.float32))
+
+    ref = np.asarray(model(x))
+    mesh = _pp_mesh(n)
+    out = apply_pipelined(model.config, model.params, x, mesh, axis='pp')
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_esrgan_jits_divisible():
+    """Same trunk, jitted, with a block count that divides the stage count
+    (no padding) and more microbatches than stages."""
+    import resselt_tpu
+    from resselt_tpu.archs.esrgan import apply_pipelined
+    from resselt_tpu.zoo import make_esrgan
+
+    n = 2
+    if len(jax.devices()) < n:
+        pytest.skip('not enough devices')
+    model = resselt_tpu.load_from_state_dict(
+        make_esrgan(num_filters=16, num_blocks=4, scale=2)
+    )
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((8, 16, 16, 3), dtype=np.float32))
+    ref = np.asarray(model(x))
+    mesh = _pp_mesh(n)
+    f = jax.jit(lambda p, xi: apply_pipelined(model.config, p, xi, mesh, axis='pp', num_microbatches=4))
+    out = f(model.params, x)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
