@@ -53,8 +53,16 @@ def _run_torch_unpatched_sort(model, x_nhwc):
     return y.detach().cpu().numpy().transpose(0, 2, 3, 1)
 
 
-def test_atd_tie_order_bound():
-    """Quantify AC_MSA's tie-order sensitivity (VERDICT r1 #6).
+@pytest.mark.parametrize('dims,seeds,size', [
+    # (embed_dim, depths, heads, category, tokens, rdim), (init, rng), (h, w)
+    ((24, (2,), (3,), 32, 16, 4), (7, 5), (16, 16)),
+    # second independent point (VERDICT r2 #6): larger model, two layers,
+    # different seeds and input size
+    ((32, (2, 2), (4, 4), 64, 32, 8), (11, 9), (24, 24)),
+])
+def test_atd_tie_order_bound(dims, seeds, size):
+    """Quantify AC_MSA's tie-order sensitivity (VERDICT r1 #6, two-point
+    bound r2 #6).
 
     AC_MSA sorts tokens by argmax CATEGORY ID with stable=False
     (atd/arch.py:303).  The keys take only num_tokens distinct values over
@@ -72,12 +80,15 @@ def test_atd_tie_order_bound():
     stable-oracle parity tests above pin our output tightly."""
     from resselt.archs.atd.arch import ATD
 
+    embed_dim, depths, heads, cat, tokens, rdim = dims
+    init_seed, rng_seed = seeds
     ref = _init(
-        ATD(in_chans=3, embed_dim=24, depths=(2,), num_heads=(3,), window_size=8,
-            category_size=32, num_tokens=16, reducted_dim=4, convffn_kernel_size=5,
-            mlp_ratio=1.0, upscale=2, upsampler='pixelshuffledirect', img_range=1.0).eval(), 7
+        ATD(in_chans=3, embed_dim=embed_dim, depths=depths, num_heads=heads, window_size=8,
+            category_size=cat, num_tokens=tokens, reducted_dim=rdim, convffn_kernel_size=5,
+            mlp_ratio=1.0, upscale=2, upsampler='pixelshuffledirect', img_range=1.0).eval(),
+        init_seed,
     )
-    x = np.random.default_rng(5).random((1, 16, 16, 3), dtype=np.float32)
+    x = np.random.default_rng(rng_seed).random((1, *size, 3), dtype=np.float32)
     sd = state_dict_to_numpy(ref.state_dict())
     model = resselt_tpu.load_from_state_dict(sd)
 
@@ -97,11 +108,16 @@ def test_atd_tie_order_bound():
     # so even the stable-oracle comparison lands in the tie-order class;
     # all divergences must stay well inside the output scale (they are
     # group-REASSIGNMENT effects, not numerical blowup)
+    # measured envelope over both points: ours-vs-stable stays within
+    # 3x the reference's own tie-order spread or 3% of the output scale
+    # (point 1: 0.24 vs spread 0.16 scale 11.5; point 2: 0.10 vs spread
+    # 0.04 scale 10.2) -- an order tighter than the old 0.5*scale bound
+    envelope = max(3.0 * ref_spread, 0.03 * scale)
     for label, d in (('stable', div_stable), ('unstable', div_unstable)):
-        assert d <= 0.5 * scale, f'{label} divergence {d} vs scale {scale}'
+        assert d <= envelope, f'{label} divergence {d} vs envelope {envelope}'
     # well-conditioned weights (the parametrized tests above, and every real
     # checkpoint in parity_report.md at >= 82 dB) show tight stable-oracle
-    # parity; this adversarial seed documents the worst case.
+    # parity; these adversarial seeds document the worst case.
     print(f'ATD tie-order spread: ref-stable-vs-unstable {ref_spread:.3f}, '
           f'ours-vs-stable {div_stable:.3f}, ours-vs-unstable {div_unstable:.3f}, '
           f'output scale {scale:.2f}')
