@@ -1,0 +1,266 @@
+#!/usr/bin/env python
+"""Family perf sweep: EVERY registered architecture family measured on the
+TPU chip at reference-default model sizes, with an MFU column.
+
+    python tools/bench_families.py [--only SUBSTR] [--render-only]
+
+Methodology (CLAUDE.md): on-device dependency-chained fori_loop with a
+dynamic (device-scalar) iteration count, calibrated to >= 2 s of genuine
+device work via a two-run delta that cancels the fixed per-dispatch
+latency of the remote-TPU tunnel; scalar readback forces the sync.
+
+Per row: f32 and bf16 MP/s (output megapixels; the whole network runs in
+the input dtype), the XLA cost-analysis FLOPs of the compiled forward
+(`SRModel.cost`), the implied useful TFLOP/s of the bf16 row, and MFU as
+a percent of the 64-TFLOP padded-MXU chip peak (BENCHMARKS.md ceiling
+analysis).  MFU here is a *diagnostic* for spotting pathological rows, not
+a roofline claim: elementwise-dominated families are legitimately
+bandwidth-bound at single-digit MFU.
+
+Results accumulate in bench_families.json (resumable across tunnel
+stalls); bench_families.md is re-rendered from the full JSON each run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+STATE = os.path.join(REPO, 'bench_families.json')
+PEAK_TFLOPS = 64.0  # padded-MXU chip peak, BENCHMARKS.md
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _configs():
+    """All 31 registered families, torch-reference constructors at
+    reference-default sizes (SURVEY.md §2.2); tile/batch are the serving
+    shapes used in round-2 measurements where those exist."""
+    sys.path.insert(0, '/root/reference')
+    import torch
+
+    torch.set_grad_enabled(False)
+    torch.manual_seed(0)
+
+    from resselt.archs.atd.arch import ATD
+    from resselt.archs.compact.arch import SRVGGNetCompact
+    from resselt.archs.cugan.arch import UpCunet2x
+    from resselt.archs.dat.arch import DAT
+    from resselt.archs.drct.arch import DRCT
+    from resselt.archs.eimn.arch import eimn
+    from resselt.archs.esrgan.arch import RRDBNet
+    from resselt.archs.fdat.arch import FDAT
+    from resselt.archs.figsr.arch import FIGSR
+    from resselt.archs.flexnet.arch import FlexNet
+    from resselt.archs.gater.arch import GateR
+    from resselt.archs.gaterv2.arch import GateRV2
+    from resselt.archs.gaterv3.arch import GateRV3
+    from resselt.archs.gfisr.arch import GFISR
+    from resselt.archs.gfisrv2.arch import GFISRV2
+    from resselt.archs.hat.arch import HAT
+    from resselt.archs.lawfft.arch import LAWFFT
+    from resselt.archs.moesr.arch import MoESR
+    from resselt.archs.mosr.arch import mosr
+    from resselt.archs.mosrv2.arch import MoSRv2
+    from resselt.archs.omni.arch import OmniSR
+    from resselt.archs.plksr.plksr import plksr
+    from resselt.archs.rcan.arch import RCAN
+    from resselt.archs.rgt.arch import RGT
+    from resselt.archs.rha.arch import RHA
+    from resselt.archs.rtmosr.arch import RTMoSR
+    from resselt.archs.smosr.arch import SMoSR
+    from resselt.archs.span.arch import SPAN
+    from resselt.archs.spanplus.arch import SpanPlus
+    from resselt.archs.spanpp.arch import SpanPP
+    from resselt.archs.swinir.arch import SwinIR
+
+    return {
+        # conv families, 256px tiles, batch 8
+        'span 4x': (lambda: SPAN(num_in_ch=3, num_out_ch=3), 256, 8),
+        'spanplus 2x': (lambda: SpanPlus(blocks=[4], feature_channels=48, upscale=2, upsampler='ps'), 256, 8),
+        'spanpp 4x': (lambda: SpanPP(eval_base_scale=4), 256, 8),
+        'compact 4x': (lambda: SRVGGNetCompact(num_feat=64, num_conv=16, upscale=4), 256, 8),
+        'esrgan 4x': (lambda: RRDBNet(in_nc=3, out_nc=3, nf=64, nb=23), 256, 8),
+        'cugan 2x': (lambda: UpCunet2x(), 256, 8),
+        'plksr 4x': (lambda: plksr(dim=64, n_blocks=28, upscaling_factor=4, kernel_size=17, split_ratio=0.25), 256, 8),
+        'mosr 4x': (lambda: mosr(in_ch=3, upscale=4, n_block=24, dim=64, upsampler='ps'), 256, 8),
+        'mosrv2 4x': (lambda: MoSRv2(), 256, 8),
+        'smosr 4x': (lambda: SMoSR(scale=4), 256, 8),
+        'moesr 4x': (lambda: MoESR(), 256, 8),
+        'rtmosr 2x': (lambda: RTMoSR(), 256, 8),
+        'eimn 4x': (lambda: eimn(), 256, 8),
+        'rcan 4x': (lambda: RCAN(), 256, 8),
+        'gfisr 4x': (lambda: GFISR(), 256, 8),
+        'gfisrv2 4x': (lambda: GFISRV2(), 256, 8),
+        'figsr 4x': (lambda: FIGSR(), 256, 8),
+        # restoration U-nets (1x)
+        'gater 1x': (lambda: GateR(), 256, 8),
+        'gaterv2 1x': (lambda: GateRV2(), 256, 8),
+        'gaterv3 1x': (lambda: GateRV3(), 256, 4),
+        # hybrid / transformer families
+        'rha 4x': (lambda: RHA(), 192, 4),
+        'flexnet 4x': (lambda: FlexNet(), 192, 4),
+        'omni 4x': (lambda: OmniSR(num_feat=64, block_num=1, pe=True, window_size=8, res_num=5, up_scale=4), 256, 8),
+        'lawfft 4x': (lambda: LAWFFT(), 160, 4),
+        'fdat-m 4x': (lambda: FDAT(), 160, 4),
+        'swinir-m 4x': (lambda: SwinIR(
+            img_size=64, embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
+            window_size=8, upsampler='pixelshuffle', upscale=4, img_range=1.0), 128, 1),
+        'hat-s 4x': (lambda: HAT(
+            img_size=64, embed_dim=144, depths=(6,) * 6, num_heads=(6,) * 6,
+            window_size=16, compress_ratio=24, squeeze_factor=24, mlp_ratio=2.0,
+            upsampler='pixelshuffle', upscale=4), 128, 8),
+        'drct-l 4x': (lambda: DRCT(
+            embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6, window_size=16,
+            upscale=4, upsampler='pixelshuffle'), 160, 2),
+        'dat-s 4x': (lambda: DAT(
+            img_size=64, embed_dim=180, split_size=[8, 16], depth=[6] * 6,
+            num_heads=[6] * 6, expansion_factor=2.0, upscale=4,
+            upsampler='pixelshuffle', resi_connection='1conv'), 128, 2),
+        'rgt 2x': (lambda: RGT(), 160, 2),
+        'atd-light 4x': (lambda: ATD(
+            embed_dim=48, depths=(6,) * 5, num_heads=(4,) * 5, window_size=16,
+            category_size=128, num_tokens=64, reducted_dim=8, convffn_kernel_size=7,
+            mlp_ratio=1, upsampler='pixelshuffledirect', upscale=4), 192, 2),
+    }
+
+
+def measure(model, tile: int, batch: int, dtype=None, iters: int = 3,
+            min_seconds: float = 2.0):
+    """Returns (out_mps, sec_per_forward, out_scale)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.default_rng(0).random((batch, tile, tile, 3), dtype=np.float32))
+    if dtype is not None:
+        x = x.astype(dtype)
+    apply_fn = functools.partial(model._apply_fn, model.config)
+    out_shape = jax.eval_shape(apply_fn, model.params, x)
+    scale = out_shape.shape[1] // tile
+
+    @jax.jit
+    def loop(p, x0, n):
+        def body(_, carry):
+            y = apply_fn(p, carry)
+            return carry + jnp.asarray(1e-6, carry.dtype) * y[:, :tile, :tile, :3]
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x0).astype(jnp.float32))
+
+    float(loop(model.params, x, jnp.int32(iters)))  # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        float(loop(model.params, x, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    dt1 = run(iters)
+    if dt1 >= 4 * min_seconds:  # slow config: dispatch latency negligible
+        per_iter = dt1 / iters
+    else:
+        n2 = iters + max(iters, int(iters * min_seconds / max(dt1, 1e-3)) + 1)
+        dt2 = run(n2)
+        per_iter = max(dt2 - dt1, 1e-6) / (n2 - iters)
+    mps = (tile * scale) ** 2 * batch / 1e6 / per_iter
+    return mps, per_iter, scale
+
+
+def render(state: dict, order) -> str:
+    lines = [
+        '# Family sweep: all 31 architecture families on the TPU chip',
+        '',
+        'Reference-default model sizes (torch constructors), calibrated',
+        'on-device loop (tools/bench_families.py).  MFU = useful TFLOP/s of',
+        'the bf16 row / 64-TFLOP padded-MXU peak — a diagnostic, not a',
+        'roofline: elementwise-heavy families are legitimately',
+        'bandwidth-bound at single-digit MFU (see notes).',
+        '',
+        '| model | tile | batch | f32 MP/s | bf16 MP/s | GFLOP/fwd | TFLOP/s (bf16) | MFU % |',
+        '|---|---|---|---|---|---|---|---|',
+    ]
+    for name in order:
+        r = state.get(name)
+        if not r:
+            lines.append(f'| {name} | - | - | - | - | - | - | - |')
+            continue
+        lines.append(
+            f'| {name} | {r["tile"]} | {r["batch"]} | {r["mps_f32"]:.1f} | '
+            f'{r["mps_bf16"]:.1f} | {r["gflop"]:.1f} | {r["tflops_bf16"]:.1f} | '
+            f'{r["mfu_pct"]:.1f} |'
+        )
+    return '\n'.join(lines) + '\n'
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--only', default=None, help='substring filter on family names')
+    ap.add_argument('--force', action='store_true', help='re-measure even if cached in JSON')
+    ap.add_argument('--render-only', action='store_true')
+    args = ap.parse_args(argv)
+
+    try:
+        from resselt_tpu.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+    state = {}
+    if os.path.exists(STATE):
+        state = json.load(open(STATE))
+
+    cfgs = _configs()
+    if not args.render_only:
+        import jax.numpy as jnp
+
+        import resselt_tpu
+
+        for name, (build, tile, batch) in cfgs.items():
+            if args.only and args.only not in name:
+                continue
+            if name in state and not args.force:
+                log(f'== {name} == cached ({state[name]["mps_bf16"]:.1f} bf16 MP/s)')
+                continue
+            log(f'== {name} ==')
+            t0 = time.perf_counter()
+            tm = build()
+            sd = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+            del tm
+            model = resselt_tpu.load_from_state_dict(sd)
+            cost = model.cost(tile, tile, batch)
+            gflop = cost['flops'] / 1e9
+            log(f'  detected {model.arch_id}, {gflop:.1f} GFLOP/fwd @{tile}x{batch}')
+            mps_f32, sec_f32, scale = measure(model, tile, batch)
+            mps_bf16, sec_bf16, _ = measure(model, tile, batch, dtype=jnp.bfloat16)
+            tflops = gflop / 1e3 / sec_bf16
+            row = {
+                'arch': model.arch_id, 'tile': tile, 'batch': batch, 'scale': scale,
+                'mps_f32': round(mps_f32, 2), 'mps_bf16': round(mps_bf16, 2),
+                'gflop': round(gflop, 1), 'tflops_bf16': round(tflops, 2),
+                'mfu_pct': round(100 * tflops / PEAK_TFLOPS, 1),
+                'sec_f32': round(sec_f32, 4), 'sec_bf16': round(sec_bf16, 4),
+            }
+            state[name] = row
+            json.dump(state, open(STATE, 'w'), indent=1)
+            log(f'  f32 {mps_f32:.1f} MP/s, bf16 {mps_bf16:.1f} MP/s, '
+                f'{tflops:.1f} TFLOP/s = {row["mfu_pct"]:.1f}% MFU '
+                f'({time.perf_counter() - t0:.0f}s)')
+
+    out = render(state, list(cfgs.keys()))
+    open(os.path.join(REPO, 'bench_families.md'), 'w').write(out)
+    print(out)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -228,7 +228,8 @@ def main(argv=None) -> int:
         log(f'== {name} ==')
         tm = c['model']()
         model = resselt_tpu.load_from_state_dict(_sd_numpy(tm))
-        log(f'  detected {model.arch_id}, {model.cost(c["tile"], c["tile"])["flops"] / 1e9:.1f} GFLOP @tile')
+        tile_flops = model.cost(c['tile'], c['tile'])['flops']
+        log(f'  detected {model.arch_id}, {tile_flops / 1e9:.1f} GFLOP @tile')
         t0 = time.perf_counter()
         mps_bf16 = None
         if 'tiled_input' in c:
@@ -247,20 +248,29 @@ def main(argv=None) -> int:
         base = None
         if not args.skip_baseline:
             base = measure_torch_cpu(name, c['model'], c['tile'], c['scale'])
-        rows.append((name, c, mps, mps_bf16, base))
+        rows.append((name, c, mps, mps_bf16, base, tile_flops))
 
     lines = [
         '# bench_suite results (BASELINE.json configs, TPU v5e chip)',
         '',
-        '| config | tile/input | batch | TPU MP/s f32 | TPU MP/s bf16 | torch-CPU MP/s | speedup (f32) |',
-        '|---|---|---|---|---|---|---|',
+        '| config | tile/input | batch | TPU MP/s f32 | TPU MP/s bf16 | TFLOP/s | MFU % | torch-CPU MP/s | speedup (f32) |',
+        '|---|---|---|---|---|---|---|---|---|',
     ]
-    for name, c, mps, mps_bf16, base in rows:
+    for name, c, mps, mps_bf16, base, tile_flops in rows:
         size = f'{c["tiled_input"][1]}x{c["tiled_input"][0]} tiled {c["tile"]}' if 'tiled_input' in c else str(c['tile'])
         sp = f'{mps / base:.0f}x' if base else '-'
         bs = f'{base:.3f}' if base else '-'
         b16 = f'{mps_bf16:.2f}' if mps_bf16 else '-'
-        lines.append(f'| {name} | {size} | {c["batch"]} | {mps:.2f} | {b16} | {bs} | **{sp}** |')
+        # useful TFLOP/s from the best measured rate and the per-tile XLA
+        # cost analysis; MFU vs the 64-TFLOP padded-MXU peak.  For tiled
+        # rows this slightly understates FLOP/s (halo recompute is not
+        # counted), which is the honest direction for a utilization column.
+        flops_per_out_mp = tile_flops / ((c['tile'] * c['scale']) ** 2 / 1e6)
+        tflops = (mps_bf16 or mps) * flops_per_out_mp / 1e12
+        lines.append(
+            f'| {name} | {size} | {c["batch"]} | {mps:.2f} | {b16} | '
+            f'{tflops:.1f} | {100 * tflops / 64.0:.1f} | {bs} | **{sp}** |'
+        )
     out = '\n'.join(lines) + '\n'
     if not args.only:  # partial runs must not clobber the full table
         open(os.path.join(REPO, 'bench_suite.md'), 'w').write(out)
