@@ -13,9 +13,12 @@ from typing import Any, Mapping
 import numpy as np
 
 from .safetensors_io import read_safetensors, write_safetensors
-from .torch_pickle import UnsafeCheckpointError, read_torch_checkpoint
+from .torch_pickle import UnsafeCheckpointError, read_torch_checkpoint, read_torchscript_state_dict
 
-__all__ = ['load_state_dict_from_file', 'read_safetensors', 'write_safetensors', 'read_torch_checkpoint', 'UnsafeCheckpointError']
+__all__ = [
+    'load_state_dict_from_file', 'read_safetensors', 'write_safetensors',
+    'read_torch_checkpoint', 'read_torchscript_state_dict', 'UnsafeCheckpointError',
+]
 
 
 def _is_torchscript(path: str) -> bool:
@@ -28,17 +31,23 @@ def _is_torchscript(path: str) -> bool:
 
 
 def _read_torchscript_state_dict(path: str) -> Mapping[str, Any]:
-    """TorchScript archives embed compiled code; extracting the state dict
-    requires the torch runtime (same as the reference, resselt/registry.py:81-83).
-    Only used for ``.pt`` files that are actual TorchScript exports."""
+    """TorchScript ``.pt``: extract the state dict directly from the
+    archive's data.pkl object tree (pure Python, no torch runtime — see
+    torch_pickle.read_torchscript_state_dict).  The reference needs
+    ``torch.jit.load`` here (resselt/registry.py:81-83); we fall back to it
+    only for exotic archives the pure reader rejects (opaque __getstate__
+    objects) when torch happens to be importable."""
     try:
-        import torch
-    except ImportError as e:  # pragma: no cover
-        raise ValueError(
-            'TorchScript archives require torch to deserialize; plain torch.save checkpoints do not.'
-        ) from e
-    module = torch.jit.load(path, map_location='cpu')
-    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+        return read_torchscript_state_dict(path)
+    except Exception as pure_err:
+        try:
+            import torch
+        except ImportError:
+            raise ValueError(
+                f'TorchScript archive could not be read ({pure_err}); the torch runtime is not available for fallback.'
+            ) from pure_err
+        module = torch.jit.load(path, map_location='cpu')
+        return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
 
 
 def load_state_dict_from_file(path: str) -> Mapping[str, Any]:

@@ -147,18 +147,58 @@ _SAFE_GLOBALS: dict[tuple[str, str], Any] = {
 }
 
 
+class _ScriptObject:
+    """Attribute bag standing in for a ``__torch__.*`` class in a
+    TorchScript archive's data.pkl: pickle NEWOBJ creates it and BUILD
+    fills ``__dict__`` — no TorchScript code is ever loaded or run."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):  # plain attribute state (the normal case)
+            self.__dict__.update(state)
+            return
+        # objects using the __getstate__ protocol (e.g. quantized modules)
+        # carry opaque state tuples; record them so the walker can reject
+        # the archive and the caller can fall back to the torch runtime
+        self.__dict__['_opaque_state'] = state
+
+
+def _build_list(data):
+    return list(data)
+
+
+_SCRIPT_GLOBALS: dict[tuple[str, str], Any] = {
+    ('torch.jit._pickle', 'build_intlist'): _build_list,
+    ('torch.jit._pickle', 'build_doublelist'): _build_list,
+    ('torch.jit._pickle', 'build_boollist'): _build_list,
+    ('torch.jit._pickle', 'build_strlist'): _build_list,
+    ('torch.jit._pickle', 'build_tensorlist'): _build_list,
+    ('torch.jit._pickle', 'build_tensor_from_id'): lambda data: None,
+    ('torch.jit._pickle', 'restore_type_tag'): lambda value, type_str: value,
+}
+
+
 class _Unpickler(pickle.Unpickler):
     """Restricted unpickler resolving torch globals to numpy builders."""
 
-    def __init__(self, file: BinaryIO, load_storage: Callable[[str, np.dtype, int], _Storage] | None = None):
+    def __init__(self, file: BinaryIO, load_storage: Callable[[str, np.dtype, int], _Storage] | None = None,
+                 allow_script: bool = False):
         super().__init__(file, encoding='latin1')
         self._load_storage = load_storage
+        self._allow_script = allow_script
 
     def find_class(self, module: str, name: str):
         if (module, name) in _SAFE_GLOBALS:
             return _SAFE_GLOBALS[(module, name)]
         if module == 'torch' and name in _STORAGE_DTYPES:
             return _StorageType(_STORAGE_DTYPES[name])
+        if self._allow_script:
+            if module.startswith('__torch__'):
+                return _ScriptObject
+            if (module, name) in _SCRIPT_GLOBALS:
+                return _SCRIPT_GLOBALS[(module, name)]
         raise UnsafeCheckpointError(f"Global '{module}.{name}' is forbidden in checkpoints")
 
     def persistent_load(self, pid):
@@ -206,6 +246,60 @@ def _read_zip(zf: zipfile.ZipFile) -> Any:
     with zf.open(prefix + 'data.pkl') as f:
         obj = _Unpickler(io.BytesIO(f.read()), load_storage).load()
     return _materialize(obj)
+
+
+def read_torchscript_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Extract the state dict from a TorchScript archive WITHOUT the torch
+    runtime.
+
+    data.pkl pickles the script module as a tree of ``__torch__.*`` objects
+    whose tensor-valued attributes are exactly the parameters and buffers
+    (torch's ``Module.state_dict()`` view); tensors use the same
+    ``_rebuild_tensor_v2`` + persistent-id scheme as eager zip checkpoints.
+    The restricted unpickler maps every ``__torch__.*`` class to an inert
+    attribute bag — the archive's compiled code is never touched.  Raises
+    ``UnsafeCheckpointError`` on objects with opaque ``__getstate__`` state
+    (e.g. quantized modules), where the attribute view is not the state
+    dict."""
+    with zipfile.ZipFile(path) as zf:
+        prefix = None
+        for name in zf.namelist():
+            if name.endswith('data.pkl'):
+                prefix = name[: -len('data.pkl')]
+                break
+        if prefix is None:
+            raise ValueError('Not a TorchScript archive: no data.pkl member')
+
+        cache: dict[str, _Storage] = {}
+
+        def load_storage(key: str, dtype: np.dtype, numel: int) -> _Storage:
+            if key not in cache:
+                raw = zf.read(f'{prefix}data/{key}')
+                cache[key] = _Storage(dtype, np.frombuffer(raw, dtype=dtype))
+            return cache[key]
+
+        with zf.open(prefix + 'data.pkl') as f:
+            root = _Unpickler(io.BytesIO(f.read()), load_storage, allow_script=True).load()
+
+    out: dict[str, np.ndarray] = {}
+
+    def walk(node, pfx: str):
+        attrs = getattr(node, '__dict__', {})
+        if '_opaque_state' in attrs:
+            raise UnsafeCheckpointError(
+                'TorchScript archive contains objects with opaque __getstate__ '
+                'state; use the torch runtime to load it'
+            )
+        for k, v in attrs.items():
+            if isinstance(v, (_LazyTensor, np.ndarray)):
+                out[pfx + k] = v
+            elif isinstance(v, _ScriptObject):
+                walk(v, f'{pfx}{k}.')
+
+    if not isinstance(root, _ScriptObject):
+        raise ValueError('TorchScript archive does not contain a script module')
+    walk(root, '')
+    return _materialize(out)
 
 
 _LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
