@@ -275,10 +275,19 @@ def fused_conv3x3_act(x, w_oihw, b=None, act: str = 'linear', th: int = 16, inte
     return out[0] if squeeze else out
 
 
-def _lk_kernel(x_hbm, w_ref, b_ref, o_ref, s0, s1, wide_ref, sem0, sem1, *, th: int, k: int,
+def _lk_kernel(x_hbm, w_ref, b_ref, o_ref, s0, s1, sem0, sem1, *, th: int, k: int,
                hg: int, g_out: int, interpret: bool):
     """Large-kernel conv body: k row-shifts x (2*hg+1) group-shifts of MXU
     dots over a column-packed VMEM slab (see fused_conv_lk).
+
+    The ngs group-shifted views of the input arrive as separate HBM planes
+    (built host-side by XLA pad/slice/stack) and each is DMA'd into its own
+    128-lane strip of the wide slab — every DMA offset/extent is 8-sublane/
+    128-lane aligned (the constraint set from the round-2 bisection).  This
+    replaces the previous in-kernel pltpu.roll + lane-concat + VMEM staging
+    of the wide operand, which was the kernel's measured plateau (VPU-bound
+    ~3.6 of 5.7 ms at PLKSR-S shapes); the MXU dot loop reads the slab via
+    outer-dim ref slices directly.
 
     Grid is (batch, row_tiles); batch is folded into the grid because a
     vmap'd pallas_call cannot carry a manually-DMA'd HBM operand (Mosaic
@@ -286,15 +295,30 @@ def _lk_kernel(x_hbm, w_ref, b_ref, o_ref, s0, s1, wide_ref, sem0, sem1, *, th: 
     bi = pl.program_id(0)
     i = pl.program_id(1)
     halo = k - 1
+    rows = th + _pad_to(halo, 8)
+    ngs = 2 * hg + 1
     n_steps = pl.num_programs(1)
     n_batch = pl.num_programs(0)
     slabs = (s0, s1)
     sems = (sem0, sem1)
 
-    def copy(batch, step, slot: int):
-        return pltpu.make_async_copy(
-            x_hbm.at[batch, pl.ds(step * th, th + _pad_to(halo, 8))], slabs[slot], sems[slot]
-        )
+    def copies(batch, step, slot: int):
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[batch, dg, pl.ds(step * th, rows)],
+                slabs[slot].at[:, :, pl.ds(dg * _LANES, _LANES)],
+                sems[slot].at[dg],
+            )
+            for dg in range(ngs)
+        ]
+
+    def start(batch, step, slot: int):
+        for c in copies(batch, step, slot):
+            c.start()
+
+    def wait(batch, step, slot: int):
+        for c in copies(batch, step, slot):
+            c.wait()
 
     # linear step index for double-buffer parity and cross-batch prefetch
     lin = bi * n_steps + i
@@ -305,52 +329,44 @@ def _lk_kernel(x_hbm, w_ref, b_ref, o_ref, s0, s1, wide_ref, sem0, sem1, *, th: 
 
     @pl.when(lin == 0)
     def _prologue():
-        copy(0, 0, 0).start()
+        start(0, 0, 0)
 
     even = lin % 2 == 0
 
     @pl.when(jnp.logical_and(have_next, even))
     def _prefetch_odd():
-        copy(nb, ni, 1).start()
+        start(nb, ni, 1)
 
     @pl.when(jnp.logical_and(have_next, jnp.logical_not(even)))
     def _prefetch_even():
-        copy(nb, ni, 0).start()
+        start(nb, ni, 0)
 
     @pl.when(even)
     def _wait_even():
-        copy(bi, i, 0).wait()
+        wait(bi, i, 0)
 
     @pl.when(jnp.logical_not(even))
     def _wait_odd():
-        copy(bi, i, 1).wait()
+        wait(bi, i, 1)
 
-    cur = jax.lax.cond(even, lambda: s0[:, :, :], lambda: s1[:, :, :])
+    def compute(slab):
+        acc = jnp.zeros((th * g_out, _LANES), jnp.float32)
+        for dy in range(k):
+            xs = slab[dy : dy + th, 0:g_out, :].reshape(th * g_out, ngs * _LANES)
+            acc += jax.lax.dot_general(
+                xs.astype(w_ref.dtype), w_ref[dy], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc += b_ref[:]
+        o_ref[0] = acc.reshape(th, g_out, _LANES)
 
-    ngs = 2 * hg + 1
-    # lane-concat the group shifts once -> one K = ngs*128 dot per row
-    # shift (fewer, larger MXU dispatches than ngs*k separate K=128 dots).
-    # Rolls stay f32 (Mosaic's dynamic_rotate has no bf16 lowering); the
-    # cast to the compute dtype happens on the concatenated operand.
-    parts = [cur]
-    for dg in range(1, ngs):
-        if interpret:
-            parts.append(jnp.roll(cur, -dg, axis=1))
-        else:
-            parts.append(pltpu.roll(cur, cur.shape[1] - dg, axis=1))
-    # stage the concatenated operand in VMEM so the per-dy row windows are
-    # ref slices (outer-dim, unconstrained) instead of value slices
-    wide_ref[:, :, :] = jnp.concatenate(parts, axis=-1).astype(w_ref.dtype)
+    @pl.when(even)
+    def _compute_even():
+        compute(s0)
 
-    acc = jnp.zeros((th * g_out, _LANES), jnp.float32)
-    for dy in range(k):
-        xs = wide_ref[dy : dy + th, 0:g_out, :].reshape(th * g_out, ngs * _LANES)
-        acc += jax.lax.dot_general(
-            xs, w_ref[dy], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    acc += b_ref[:]
-    o_ref[0] = acc.reshape(th, g_out, _LANES)
+    @pl.when(jnp.logical_not(even))
+    def _compute_odd():
+        compute(s1)
 
 
 _FUSED_LK = True
@@ -410,6 +426,14 @@ def fused_conv_lk(x, w_oihw, b=None, k: int = 17, act: str = 'linear', th: int =
     pad = k // 2
     hg = -(-pad // p)  # halo groups per side
     ngs = 2 * hg + 1
+    # compute_dtype='bfloat16' runs the slab + dots natively in bf16 (f32
+    # accumulate): halves DMA/VMEM bytes; sublane tiling widens to 16 so
+    # the group dims pad to 16-multiples.  OPT-IN only: the first live-TPU
+    # probe of this path coincided with a worker crash/tunnel outage
+    # (2026-08-17), so bf16 model inputs take the validated f32-slab path
+    # until the bf16 lowering is bisected on hardware.
+    cdt = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
+    sub = 16 if cdt == jnp.bfloat16 else 8
 
     # weights -> (k*ngs, P*cin, P*cout) via one trace-time-indexed gather
     import numpy as _np
@@ -422,7 +446,7 @@ def fused_conv_lk(x, w_oihw, b=None, k: int = 17, act: str = 'linear', th: int =
     wk = wt_pad[:, dx]  # (k, ngs, P, P, ci, co)
     wk = wk.transpose(0, 1, 2, 4, 3, 5).reshape(k, ngs, p * cin, p * cout)
     wk = jnp.pad(wk, ((0, 0), (0, 0), (0, 0), (0, _LANES - p * cout)))
-    wk = wk.reshape(k, ngs * _LANES, _LANES).astype(compute_dtype)
+    wk = wk.reshape(k, ngs * _LANES, _LANES).astype(cdt)
 
     bp = jnp.zeros((_LANES,), jnp.float32)
     if b is not None:
@@ -430,15 +454,22 @@ def fused_conv_lk(x, w_oihw, b=None, k: int = 17, act: str = 'linear', th: int =
 
     hp = _pad_to(h, th)
     halo_rows = _pad_to(k - 1, 8)
-    wp = _pad_to(w, 8 * p)  # output cols; groups g_out = wp // p (x8 aligned)
+    wp = _pad_to(w, sub * p)  # output cols; groups g_out = wp // p (tile-aligned)
     g_out = wp // p
-    g_in = _pad_to(g_out + 2 * hg, 8)
-    # rows: pad//2... top halo = pad rows, DMA overfetch slack below
+    g_in = _pad_to(g_out + 2 * hg, sub)
+    # rows: pad//2... top halo = pad rows, DMA overfetch slack below.
+    # Columns: ngs-1 extra groups on the right so every group-shifted view
+    # xp[:, :, dg:dg+g_in] stays in bounds.
     xp = jnp.pad(
-        x.astype(jnp.float32),
-        ((0, 0), (pad, hp - h + halo_rows - pad), (hg * p, g_in * p - w - hg * p), (0, 0)),
+        x.astype(cdt),
+        ((0, 0), (pad, hp - h + halo_rows - pad),
+         (hg * p, (g_in + ngs - 1) * p - w - hg * p), (0, 0)),
     )
-    xp = xp.reshape(n, hp + halo_rows, g_in, _LANES)
+    xp = xp.reshape(n, hp + halo_rows, g_in + ngs - 1, _LANES)
+    # (n, ngs, rows, g_in, 128): plane dg holds the input shifted left by dg
+    # groups, so the kernel's DMA of plane dg into lane strip dg assembles
+    # the wide operand with zero in-kernel VPU work
+    xp = jnp.stack([xp[:, :, dg : dg + g_in, :] for dg in range(ngs)], axis=1)
 
     kern = functools.partial(_lk_kernel, th=th, k=k, hg=hg, g_out=g_out, interpret=interpret)
 
@@ -454,11 +485,10 @@ def fused_conv_lk(x, w_oihw, b=None, k: int = 17, act: str = 'linear', th: int =
             ],
             out_specs=pl.BlockSpec((1, th, g_out, _LANES), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((th + halo_rows, g_in, _LANES), jnp.float32),
-                pltpu.VMEM((th + halo_rows, g_in, _LANES), jnp.float32),
-                pltpu.VMEM((th + halo_rows, g_in, ngs * _LANES), jnp.dtype(compute_dtype)),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((th + halo_rows, g_in, ngs * _LANES), cdt),
+                pltpu.VMEM((th + halo_rows, g_in, ngs * _LANES), cdt),
+                pltpu.SemaphoreType.DMA((ngs,)),
+                pltpu.SemaphoreType.DMA((ngs,)),
             ],
             interpret=interpret,
         )(xi, wk, bp)

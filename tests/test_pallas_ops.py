@@ -143,3 +143,61 @@ def test_window_mha_pallas_head_pad(n, c, heads, head_pad):
     got = np.asarray(window_mha_pallas(q, k, v, bias, mask, num_heads=heads, scale=scale,
                                        interpret=True, head_pad=head_pad))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('n,c,heads,hd_pad,with_mask', [
+    (256, 144, 6, 32, True),   # HAT-S shapes
+    (256, 48, 4, 16, False),   # ATD-light shapes
+])
+def test_packed_qkv_attention(n, c, heads, hd_pad, with_mask):
+    """Weight-folded head padding must be exactly equivalent to the plain
+    qkv -> MHA -> proj path (padded lanes are zeros through every matmul)."""
+    import jax.numpy as jnp
+
+    from resselt_tpu.nn import functional as F
+    from resselt_tpu.nn.params import PTree
+    from resselt_tpu.nn.window import multi_head_attention, packed_qkv_attention
+
+    rng = np.random.default_rng(2)
+    nw, b = 4, 2
+    x = jnp.asarray(rng.standard_normal((b * nw, n, c), np.float32))
+    params = {
+        'qkv.weight': jnp.asarray(rng.standard_normal((3 * c, c), np.float32) * 0.05),
+        'qkv.bias': jnp.asarray(rng.standard_normal((3 * c,), np.float32) * 0.05),
+        'proj.weight': jnp.asarray(rng.standard_normal((c, c), np.float32) * 0.05),
+        'proj.bias': jnp.asarray(rng.standard_normal((c,), np.float32) * 0.05),
+    }
+    p = PTree(params)
+    bias = jnp.asarray(rng.standard_normal((heads, n, n), np.float32) * 0.1)
+    mask = None
+    if with_mask:
+        mask = jnp.asarray(np.where(rng.random((nw, n, n)) < 0.2, -100.0, 0.0).astype(np.float32))
+
+    hd = c // heads
+    qkv = F.linear(x, params['qkv.weight'], params['qkv.bias'])
+    q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+    ref = multi_head_attention(q, k, v, heads, hd**-0.5, bias=bias, mask=mask)
+    ref = F.linear(ref, params['proj.weight'], params['proj.bias'])
+
+    got = packed_qkv_attention(p, x, bias, mask, heads, hd_pad=hd_pad, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_conv_lk_bf16_compute():
+    """Opt-in bf16 compute path (compute_dtype='bfloat16') stays within
+    bf16 rounding of the XLA bf16 conv; default path ignores it for bf16
+    inputs (f32 slab) and stays exact."""
+    import jax.numpy as jnp
+
+    from resselt_tpu.ops.fused_conv import fused_conv_lk
+
+    rng = np.random.default_rng(3)
+    x = np.asarray(rng.standard_normal((2, 24, 144, 16)) * 0.3, np.float32)
+    wt = np.asarray(rng.standard_normal((16, 16, 17, 17)) * 0.05, np.float32)
+    b = np.asarray(rng.standard_normal(16), np.float32)
+    want = np.asarray(F.conv2d(jnp.asarray(x, jnp.bfloat16), wt, b, padding=8), dtype=np.float32)
+    got = np.asarray(
+        fused_conv_lk(jnp.asarray(x, jnp.bfloat16), wt, b, k=17, interpret=True,
+                      compute_dtype='bfloat16'), dtype=np.float32)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.02, rel
