@@ -56,10 +56,24 @@ def _cab(p: PTree, x, dim: int, cfg: HATConfig):
 def _window_attn(p: PTree, windows, rpi, num_heads: int, n: int, mask):
     c = windows.shape[-1]
     scale = (c // num_heads) ** -0.5
-    qkv = F.linear(windows, p['qkv.weight'], p.get('qkv.bias'))
-    q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
     bias = p['relative_position_bias_table'][rpi.reshape(-1)].reshape(n, n, num_heads)
     bias = bias.transpose(2, 0, 1).astype(windows.dtype)
+
+    import jax
+
+    from ..nn.window import packed_attention_enabled
+
+    hd = c // num_heads
+    if (packed_attention_enabled() and jax.default_backend() != 'cpu'
+            and n % 128 == 0 and hd <= 32
+            and (mask is None or windows.shape[0] % mask.shape[0] == 0)):
+        from ..nn.window import packed_qkv_attention
+
+        hd_pad = 16 if hd <= 16 else 32
+        return packed_qkv_attention(p, windows, bias, mask, num_heads, hd_pad=hd_pad)
+
+    qkv = F.linear(windows, p['qkv.weight'], p.get('qkv.bias'))
+    q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
     out = multi_head_attention(q, k, v, num_heads, scale, bias=bias, mask=mask)
     return F.linear(out, p['proj.weight'], p.get('proj.bias'))
 

@@ -63,10 +63,25 @@ def swin_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray | None:
 
 
 _FUSED_ATTENTION = True
+_PACKED_ATTENTION = False
 
 
 def fused_attention_enabled() -> bool:
     return _FUSED_ATTENTION
+
+
+def packed_attention_enabled() -> bool:
+    return _PACKED_ATTENTION
+
+
+def use_packed_attention(on: bool) -> None:
+    """Route qualifying window-attention blocks through
+    ``packed_qkv_attention`` (head padding folded into projection weights).
+    Off by default until the microbench (tools/microbench_wattn.py) shows a
+    win for the target shape class; keyed into jit caches via
+    core.factory._dispatch_flags."""
+    global _PACKED_ATTENTION
+    _PACKED_ATTENTION = bool(on)
 
 
 def use_fused_attention(on: bool) -> None:
@@ -109,6 +124,53 @@ def multi_head_attention(q, k, v, num_heads: int, scale: float, bias=None, mask=
     attn = F.softmax(attn, axis=-1)
     out = jnp.einsum('bhnm,bhmd->bhnd', attn, v, preferred_element_type=jnp.float32).astype(q.dtype)
     return out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+
+def packed_qkv_attention(p, windows, bias, mask, num_heads: int, hd_pad: int = 32,
+                         interpret: bool = False):
+    """qkv projection + fused window MHA + out projection with every head
+    padded to ``hd_pad`` aligned lanes — at ZERO relayout cost.
+
+    The head padding is folded into the qkv projection WEIGHT at trace time
+    (zero rows interleaved so head h's output lands at lanes
+    [h*hd_pad, h*hd_pad+head_dim)) and the unpad into the out-projection
+    weight (zero columns at the pad lanes).  Unlike the measured
+    ``head_pad`` path in ops/window_attention.py — which reaches only
+    parity with XLA at n=256 because of the extra host-side qkv pass — no
+    additional HBM traffic exists here; the only overhead is the qkv
+    matmul's wider output (e.g. HAT-S 432 -> 576 lanes).
+
+    ``p``: PTree scoped to the attention module ('qkv.weight' (3C, C),
+    optional 'qkv.bias', 'proj.weight' (C, C), optional 'proj.bias');
+    ``windows``: (B*nW, N, C); ``bias``: (num_heads, N, N).
+    Exactly equivalent to the unpacked path (padded lanes are zeros
+    through every matmul).
+    """
+    from ..ops.window_attention import window_mha_pallas
+
+    b_, n, c = windows.shape
+    hd = c // num_heads
+    scale = hd**-0.5
+
+    w = p['qkv.weight'].reshape(3, num_heads, hd, c)
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, hd_pad - hd), (0, 0)))
+    w = w.reshape(3 * num_heads * hd_pad, c)
+    bq = p.get('qkv.bias')
+    if bq is not None:
+        bq = jnp.pad(bq.reshape(3, num_heads, hd), ((0, 0), (0, 0), (0, hd_pad - hd)))
+        bq = bq.reshape(3 * num_heads * hd_pad)
+    qkv = F.linear(windows, w, bq)
+    cpad = num_heads * hd_pad
+    q, k, v = qkv[..., :cpad], qkv[..., cpad : 2 * cpad], qkv[..., 2 * cpad :]
+
+    mask_j = None if mask is None else jnp.asarray(mask)
+    out = window_mha_pallas(q, k, v, jnp.asarray(bias, jnp.float32), mask_j,
+                            num_heads=num_heads, scale=float(scale),
+                            head_pad=hd_pad, assume_padded=True, interpret=interpret)
+
+    wp = p['proj.weight'].reshape(c, num_heads, hd)
+    wp = jnp.pad(wp, ((0, 0), (0, 0), (0, hd_pad - hd))).reshape(c, cpad)
+    return F.linear(out, wp, p.get('proj.bias'))
 
 
 def swin_window_attention(p, x_windows, num_heads: int, wh: int, ww: int, mask=None, qk_scale=None):

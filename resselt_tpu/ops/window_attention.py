@@ -64,21 +64,30 @@ def supported(n: int, c: int, num_heads: int, mask_windows: int | None, batch: i
     (n=256, hd=12) 84.3 vs 81.3.  Every n=256 shape measured was slower
     fused (the per-head lane slicing costs more than the saved score-matrix
     HBM traffic), so the gate admits only the measured-winning class:
-    n == 128 windows with head_dim >= 25."""
+    n == 128 windows with head_dim >= 25.
+
+    The win also needs enough stacked windows to amortize per-grid-step
+    overhead (round-3 DAT-S 128px bf16: batch*nW=512 loses 6.5 vs 7.4
+    MP/s, 1024 wins 8.4 vs 6.7), so small tile batches fall back to XLA;
+    the serving path (tile_batch 8 -> 1024 windows at 128px) stays fused."""
     if jax.default_backend() == 'cpu':
         return False
     if n != 128:
         return False
     if c % num_heads != 0 or c // num_heads < 25:
         return False
+    if batch < 1024:
+        return False
     if mask_windows is not None and batch % mask_windows != 0:
         return False
     return True
 
 
-@functools.partial(jax.jit, static_argnames=('num_heads', 'scale', 'interpret', 'head_pad'))
+@functools.partial(jax.jit, static_argnames=('num_heads', 'scale', 'interpret', 'head_pad',
+                                             'assume_padded'))
 def window_mha_pallas(q, k, v, bias, mask=None, *, num_heads: int, scale: float,
-                      interpret: bool = False, head_pad: int | None = None):
+                      interpret: bool = False, head_pad: int | None = None,
+                      assume_padded: bool = False):
     """Fused window MHA.
 
     q/k/v: (B, N, C) projected per-window tokens (B = batch * nW);
@@ -93,12 +102,25 @@ def window_mha_pallas(q, k, v, bias, mask=None, *, num_heads: int, scale: float,
     neutral); at n=128 the host-side re-layout overhead makes it a LOSS
     (DAT-S 67.6 vs 58.3 without).  It therefore stays off in the default
     dispatch — kept as a validated option for future shapes.
+
+    ``assume_padded``: q/k/v already arrive with every head occupying
+    ``head_pad`` lanes (zero-filled above the real head_dim) and the output
+    is returned in the same padded layout.  This is the zero-cost variant of
+    head_pad: the padding is folded into the qkv projection WEIGHTS at trace
+    time and the unpad into the out-projection (nn/window.py::
+    packed_qkv_attention), so no extra host-side qkv pass exists.  ``scale``
+    must already account for the real head_dim.
     """
     b_, n, c = q.shape
-    hd = c // num_heads
     nw = mask.shape[0] if mask is not None else 1
     b = b_ // nw
-    if head_pad is not None and head_pad != hd:
+    if assume_padded:
+        if head_pad is None or c != num_heads * head_pad or 128 % head_pad:
+            raise ValueError(f'assume_padded: c={c} != heads*head_pad or bad head_pad={head_pad}')
+        hd = head_pad
+        c_run, hd_run = c, head_pad
+    elif head_pad is not None and head_pad != (c // num_heads):
+        hd = c // num_heads
         if head_pad < hd or 128 % head_pad:
             raise ValueError(f'head_pad {head_pad} invalid for head_dim {hd}')
         pad_each = ((0, 0), (0, 0), (0, 0), (0, head_pad - hd))
@@ -109,6 +131,7 @@ def window_mha_pallas(q, k, v, bias, mask=None, *, num_heads: int, scale: float,
         c_run = num_heads * head_pad
         hd_run = head_pad
     else:
+        hd = c // num_heads
         c_run, hd_run = c, hd
     cp = -(-c_run // 128) * 128
     if cp != c_run:
@@ -140,6 +163,6 @@ def window_mha_pallas(q, k, v, bias, mask=None, *, num_heads: int, scale: float,
         interpret=interpret,
     )(q, k, v, bias.astype(jnp.float32), mask_arg)
     out = out.reshape(b_, n, cp)[:, :, : num_heads * hd_run]
-    if hd_run != hd:
+    if hd_run != hd and not assume_padded:
         out = out.reshape(b_, n, num_heads, hd_run)[..., :hd].reshape(b_, n, c)
     return out
