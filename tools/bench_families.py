@@ -87,9 +87,9 @@ def _configs():
         # conv families, 256px tiles, batch 8
         'span 4x': (lambda: SPAN(num_in_ch=3, num_out_ch=3), 256, 8),
         'spanplus 2x': (lambda: SpanPlus(blocks=[4], feature_channels=48, upscale=2, upsampler='ps'), 256, 8),
-        'spanpp 4x': (lambda: SpanPP(eval_base_scale=4), 256, 8),
+        'spanpp 2x': (lambda: SpanPP(), 256, 8),  # checkpoints always eval at base scale 2
         'compact 4x': (lambda: SRVGGNetCompact(num_feat=64, num_conv=16, upscale=4), 256, 8),
-        'esrgan 4x': (lambda: RRDBNet(in_nc=3, out_nc=3, nf=64, nb=23), 256, 8),
+        'esrgan 4x': (lambda: RRDBNet(in_nc=3, out_nc=3, num_filters=64, num_blocks=23), 256, 8),
         'cugan 2x': (lambda: UpCunet2x(), 256, 8),
         'plksr 4x': (lambda: plksr(dim=64, n_blocks=28, upscaling_factor=4, kernel_size=17, split_ratio=0.25), 256, 8),
         'mosr 4x': (lambda: mosr(in_ch=3, upscale=4, n_block=24, dim=64, upsampler='ps'), 256, 8),
@@ -198,6 +198,33 @@ def render(state: dict, order) -> str:
             f'{r["mps_bf16"]:.1f} | {r["gflop"]:.1f} | {r["tflops_bf16"]:.1f} | '
             f'{r["mfu_pct"]:.1f} |'
         )
+    lines += [
+        '',
+        'Notes on the low-MFU rows (all re-measured standalone; outlier rule',
+        'in CLAUDE.md):',
+        '',
+        '- **eimn (8.7%)**: per-op anatomy (tools/profile_eimn.py, 256²b8 f32:',
+        '  1x1 conv 1.35 ms, plain 5x5 dw 1.60, dilated 5x5-d2+7x7-d3 pair',
+        '  6.58, SAL@340ch 2.80, DFFM-global 0.25) — the dilated depthwise',
+        '  pair is 40% of the block and runs at 0.35 TFLOP/s in every',
+        '  formulation tried (XLA dilated, exact space-to-batch rewrite 6.58,',
+        '  25-tap shifted-FMA 4.71): model-inherent VPU-bound depthwise work,',
+        '  not an implementation artifact.  (This row supersedes round 2\'s',
+        '  2.1 MP/s "EIMN" entry, which measured a ~3x larger non-default',
+        '  construction.)',
+        '- **gater f32 (2.9 vs 11.2 bf16)**: reproducible, not noise — the',
+        '  GatedCNN 7x7 depthwise stacks pay a ~4x f32-vs-bf16 VPU penalty;',
+        '  the serving path is bf16 (41% MFU there).  gaterv2/v3 share the',
+        '  same depthwise-heavy profile plus small-latent U-net stages.',
+        '- **omni / lawfft / atd (3.6-5%)**: many tiny windowed/grid',
+        '  attention ops (omni, n=64), FFT mixing whose FLOPs the cost model',
+        '  counts differently (lawfft), and sort/gather-bound AC_MSA (atd,',
+        '  ablated in round 2) — model-inherent shapes, not fixable rows.',
+        '- **dat-s**: the fused window-attention kernel only wins above',
+        '  ~1024 stacked windows (512 loses 6.5 vs 7.4 MP/s, 1024 wins 8.4',
+        '  vs 6.7); the dispatch gate now requires batch*nW >= 1024, which',
+        '  keeps serving (tile_batch 8) fused and small batches on XLA.',
+    ]
     return '\n'.join(lines) + '\n'
 
 
