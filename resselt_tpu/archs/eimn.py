@@ -28,7 +28,20 @@ class EIMNConfig:
 
 
 def _molrcm(p: PTree, x, dim: int):
-    """MOLRCM (eimn/arch.py:103-147)."""
+    """MOLRCM (eimn/arch.py:103-147).
+
+    On TPU the whole chain runs as one fused Pallas kernel
+    (ops/molrcm.py): XLA runs the dilated depthwise pair at 0.35 TFLOP/s
+    and re-reads the activation set from HBM for each 1x1; the kernel
+    computes value/query/region/pair/fusion/out per VMEM row-tile."""
+    import jax
+
+    from ..ops.molrcm import fused_molrcm, fused_molrcm_enabled, molrcm_supported
+
+    if (fused_molrcm_enabled() and jax.default_backend() != 'cpu'
+            and molrcm_supported(dim, x.shape[1], x.shape[2])):
+        return fused_molrcm(p, x, dim)
+
     c1, c2 = int(3 / 8 * dim), int(1 / 8 * dim)
     value = p.conv('proj_value.0', x)
     query = F.gelu(p.conv('proj_query.0', x))

@@ -201,3 +201,42 @@ def test_fused_conv_lk_bf16_compute():
                       compute_dtype='bfloat16'), dtype=np.float32)
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 0.02, rel
+
+
+@pytest.mark.parametrize('shape,th', [((2, 37, 45, 64), 16), ((1, 16, 128, 64), 8)])
+def test_fused_molrcm(shape, th):
+    """Fused MOLRCM kernel (interpret) matches the jnp reference chain to
+    f32 rounding.  Both paths sit ~3.4e-4 from a float64 oracle on this
+    random construction (weights 0.1: the gelu/silu multiplicative chain
+    amplifies rounding), so the cross-tolerance is 1e-3, not 1e-5."""
+    import jax.numpy as jnp
+
+    from resselt_tpu.archs.eimn import _molrcm
+    from resselt_tpu.nn.params import PTree
+    from resselt_tpu.ops.molrcm import fused_molrcm, molrcm_supported
+
+    d = shape[-1]
+    assert molrcm_supported(d, shape[1], shape[2])
+    rng = np.random.default_rng(0)
+    params = {}
+
+    def conv(name, o, i, k):
+        params[f'{name}.weight'] = jnp.asarray(rng.standard_normal((o, i, k, k), np.float32) * 0.1)
+        params[f'{name}.bias'] = jnp.asarray(rng.standard_normal((o,), np.float32) * 0.1)
+
+    c1, c2 = int(3 / 8 * d), int(1 / 8 * d)
+    conv('proj_value.0', d, d, 1)
+    conv('proj_query.0', d, d, 1)
+    conv('region', d, 1, 5)
+    conv('spatial_1', c1, 1, 5)
+    conv('spatial_2', d - c1 - c2, 1, 7)
+    conv('fusion', d, d, 1)
+    conv('out', d, d, 1)
+    p = PTree(params)
+    x = jnp.asarray(rng.standard_normal(shape, np.float32) * 0.3)
+
+    want = np.asarray(_molrcm(p, x, d))
+    got = np.asarray(fused_molrcm(p, x, d, th=th, interpret=True))
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1.5e-3 * scale)
