@@ -30,10 +30,10 @@ class EIMNConfig:
 def _molrcm(p: PTree, x, dim: int):
     """MOLRCM (eimn/arch.py:103-147).
 
-    On TPU the whole chain runs as one fused Pallas kernel
-    (ops/molrcm.py): XLA runs the dilated depthwise pair at 0.35 TFLOP/s
-    and re-reads the activation set from HBM for each 1x1; the kernel
-    computes value/query/region/pair/fusion/out per VMEM row-tile."""
+    A fused whole-chain Pallas kernel exists (ops/molrcm.py) but measured
+    1.9x SLOWER than this XLA chain on the v5e (12.6 vs 6.7 ms, 256^2 b8
+    dim64 f32) — XLA fuses the in-context chain far better than standalone
+    per-op microbenches suggested.  It stays opt-in (use_fused_molrcm)."""
     import jax
 
     from ..ops.molrcm import fused_molrcm, fused_molrcm_enabled, molrcm_supported

@@ -22,7 +22,19 @@ exactly (the reference pads each conv's input with zeros; a fused chain
 must re-zero the halo between stages).
 
 Exactness: interpret mode matches the jnp reference path to f32 rounding
-(tests/test_pallas_ops.py::test_fused_molrcm).
+(tests/test_pallas_ops.py::test_fused_molrcm), and the live chip matches
+the XLA chain to 1.3e-3 relative at 256^2.
+
+MEASURED RESULT (2026-08-17, v5e, tools/probe_molrcm.py): the kernel is
+1.9x SLOWER than XLA end-to-end (12.6 ms vs 6.7 ms, 256^2 b8 dim64 f32).
+The standalone per-op numbers that motivated it (dilated pair 6.58 ms,
+region 1.60, 1x1s ~4) do NOT add up in context: XLA fuses the real chain
+to 6.7 ms total.  The kernel's costs — 2.5x query / 2.1x region halo
+recompute per 16-row tile, 50% lane utilization (128 useful of 256), and
+74 pltpu.roll ops per step — exceed the HBM traffic it saves.  Default
+OFF; opt-in via use_fused_molrcm(True).  Don't retry without a design
+that cuts halo redundancy ~2x (bigger row tiles need >16 MB VMEM) AND
+lane waste.
 """
 
 from __future__ import annotations
@@ -50,32 +62,44 @@ def _roll_lanes(x, dx: int, interpret: bool):
     return pltpu.roll(x, (-dx) % x.shape[-1], axis=x.ndim - 1)
 
 
+def _erf(x):
+    # Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7 ~= f32 rounding):
+    # Mosaic has no erf lowering, and this keeps interpret == TPU bitpath.
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(x):
-    return x * 0.5 * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+    return x * 0.5 * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
 def _kernel(x_hbm, wv, bv, wq, bq, wr, br, w1, b1, w2, b2, wf, bf, wo, bo,
-            o_ref, slab, value_ref, reg_ref, sem, *, th: int, p0: int, c1: int, c2: int,
-            h: int, w: int, l0: int, cg: int, interpret: bool):
+            o_ref, slab, reg_ref, sem, vsem, *, th: int, p0: int, c1: int, c2: int,
+            h: int, w: int, l0: int, tw: int, cg: int, interpret: bool):
     bi = pl.program_id(0)
-    i = pl.program_id(1)
+    k = pl.program_id(1)   # W-tile index: out columns [k*tw, (k+1)*tw)
+    i = pl.program_id(2)   # H-tile index
     cp = slab.shape[1]
     wp = slab.shape[2]
     rr = th + 18  # region rows: pair needs region at output rows +-9
 
-    pltpu.make_async_copy(x_hbm.at[bi, pl.ds(i * th, th + 2 * p0)], slab, sem).start()
-    pltpu.make_async_copy(x_hbm.at[bi, pl.ds(i * th, th + 2 * p0)], slab, sem).wait()
+    pltpu.make_async_copy(x_hbm.at[bi, k, pl.ds(i * th, th + 2 * p0)], slab, sem).start()
+    pltpu.make_async_copy(x_hbm.at[bi, k, pl.ds(i * th, th + 2 * p0)], slab, sem).wait()
 
+    # True-image lane bounds in this tile's coordinates: lane j holds global
+    # image column k*tw - l0 + j, valid iff 0 <= global < w.
+    lane_lo = l0 - k * tw
+    lane_hi = w + l0 - k * tw
     lane_ok = jax.lax.broadcasted_iota(jnp.int32, (cp, wp), 1)
-    lane_mask = jnp.logical_and(lane_ok >= l0, lane_ok < l0 + w).astype(jnp.float32)
+    lane_mask = jnp.logical_and(lane_ok >= lane_lo, lane_ok < lane_hi).astype(jnp.float32)
 
     def dot(wmat, row):
         return jax.lax.dot_general(wmat, row, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-
-    # value rows [p0, p0+th) — read BEFORE query overwrites the slab
-    for t in range(th):
-        value_ref[t] = dot(wv[:], slab[p0 + t]) + bv[:]
 
     # query in-place: rows [4, th+28) in slab coords (region halo 2 beyond
     # the pair's +-9 halo); masked to zero outside the true image so the
@@ -90,8 +114,8 @@ def _kernel(x_hbm, wv, bv, wq, bq, wr, br, w1, b1, w2, b2, wf, bf, wo, bo,
     row3 = jax.lax.broadcasted_iota(jnp.int32, (rr, 1, wp), 0) + (i * th - 9)
     mask3 = jnp.logical_and(row3 >= 0, row3 < h).astype(jnp.float32) * \
         jnp.logical_and(
-            jax.lax.broadcasted_iota(jnp.int32, (rr, 1, wp), 2) >= l0,
-            jax.lax.broadcasted_iota(jnp.int32, (rr, 1, wp), 2) < l0 + w,
+            jax.lax.broadcasted_iota(jnp.int32, (rr, 1, wp), 2) >= lane_lo,
+            jax.lax.broadcasted_iota(jnp.int32, (rr, 1, wp), 2) < lane_hi,
         ).astype(jnp.float32)
     for g0 in range(0, cp, cg):
         g1 = min(g0 + cg, cp)
@@ -104,32 +128,45 @@ def _kernel(x_hbm, wv, bv, wq, bq, wr, br, w1, b1, w2, b2, wf, bf, wo, bo,
                 acc += rolled[3 + dy : 3 + dy + rr] * wr[dyi * 5 + dxi, g0:g1]
         reg_ref[:, g0:g1, :] = acc * mask3
 
-    # dilated pair on output rows [0, th): slab row p0+t <-> reg index 9+t
-    acc1 = jnp.zeros((th, c1, wp), jnp.float32) + b1[:]
-    r1 = reg_ref[:, 0:c1, :]
-    for dxi, dx in enumerate((-4, -2, 0, 2, 4)):
-        rolled = _roll_lanes(r1, dx, interpret)
-        for dyi, dy in enumerate((-4, -2, 0, 2, 4)):
-            acc1 += rolled[9 + dy : 9 + dy + th] * w1[dyi * 5 + dxi]
-    acc3 = jnp.zeros((th, cp - c1 - c2, wp), jnp.float32) + b2[:]
-    r2 = reg_ref[:, c1 + c2 : cp, :]
-    for dxi, dx in enumerate((-9, -6, -3, 0, 3, 6, 9)):
-        rolled = _roll_lanes(r2, dx, interpret)
-        for dyi, dy in enumerate((-9, -6, -3, 0, 3, 6, 9)):
-            acc3 += rolled[9 + dy : 9 + dy + th] * w2[dyi * 7 + dxi]
+    # query rows are consumed; refill slab rows [th, 2*th) with fresh x for
+    # the value projection (overlaps the pair compute below).  Source start
+    # i*th + p0 is 8-row aligned (th, p0 both multiples of 8).
+    vcopy = pltpu.make_async_copy(
+        x_hbm.at[bi, k, pl.ds(i * th + p0, th)], slab.at[pl.ds(th, th)], vsem)
+    vcopy.start()
 
-    # fusion input assembled into freed slab rows [0, th)
-    slab[0:th, 0:c1, :] = acc1
+    # dilated pair on output rows [0, th): slab row p0+t <-> reg index 9+t.
+    # Channel-grouped (cg) to bound live rolled temporaries; results land
+    # directly in the freed slab rows [0, th) (the fusion input).
+    for g0 in range(0, c1, cg):
+        g1 = min(g0 + cg, c1)
+        r1 = reg_ref[:, g0:g1, :]
+        acc = jnp.zeros((th, g1 - g0, wp), jnp.float32) + b1[g0:g1]
+        for dxi, dx in enumerate((-4, -2, 0, 2, 4)):
+            rolled = _roll_lanes(r1, dx, interpret)
+            for dyi, dy in enumerate((-4, -2, 0, 2, 4)):
+                acc += rolled[9 + dy : 9 + dy + th] * w1[dyi * 5 + dxi, g0:g1]
+        slab[0:th, g0:g1, :] = acc
     slab[0:th, c1 : c1 + c2, :] = reg_ref[9 : 9 + th, c1 : c1 + c2, :]
-    slab[0:th, c1 + c2 : cp, :] = acc3
+    for g0 in range(0, cp - c1 - c2, cg):
+        g1 = min(g0 + cg, cp - c1 - c2)
+        r2 = reg_ref[:, c1 + c2 + g0 : c1 + c2 + g1, :]
+        acc = jnp.zeros((th, g1 - g0, wp), jnp.float32) + b2[g0:g1]
+        for dxi, dx in enumerate((-9, -6, -3, 0, 3, 6, 9)):
+            rolled = _roll_lanes(r2, dx, interpret)
+            for dyi, dy in enumerate((-9, -6, -3, 0, 3, 6, 9)):
+                acc += rolled[9 + dy : 9 + dy + th] * w2[dyi * 7 + dxi, g0:g1]
+        slab[0:th, c1 + c2 + g0 : c1 + c2 + g1, :] = acc
 
+    vcopy.wait()
     for t in range(th):
         f = dot(wf[:], slab[t]) + bf[:]
         f = f * jax.nn.sigmoid(f)
-        o_ref[0, 0, t] = dot(wo[:], f * value_ref[t]) + bo[:]
+        v = dot(wv[:], slab[th + t]) + bv[:]
+        o_ref[0, 0, 0, t] = dot(wo[:], f * v) + bo[:]
 
 
-_FUSED_MOLRCM = True
+_FUSED_MOLRCM = False  # measured 1.9x slower than the XLA chain; opt-in only
 
 
 def fused_molrcm_enabled() -> bool:
@@ -145,12 +182,13 @@ def use_fused_molrcm(on: bool) -> None:
 
 
 def molrcm_supported(dim: int, h: int, w: int) -> bool:
-    """Shape gate: channel split points must be 8-sublane aligned and the
-    row slab must fit VMEM (w bounds the lane count)."""
+    """Shape gate: channel split points must be 8-sublane aligned; W is
+    tiled into fixed 128-column tiles in-kernel, so scoped VMEM does not
+    grow with image size (dim>64 would)."""
     c1, c2 = int(3 / 8 * dim), int(1 / 8 * dim)
     if dim % 8 or c1 % 8 or (c1 + c2) % 8:
         return False
-    if dim > 64 or w > 768 or h < 1:
+    if dim > 64 or w < 1 or h < 1:
         return False
     return True
 
@@ -161,45 +199,59 @@ def _wb(p, name):
     return wt, b
 
 
-@functools.partial(jax.jit, static_argnames=('dim', 'th', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('dim', 'th', 'interpret', 'cg'))
 def _run(x, wv, bv, wq, bq, wr, br, w1, b1, w2, b2, wf, bf, wo, bo,
-         *, dim: int, th: int, interpret: bool):
+         *, dim: int, th: int, interpret: bool, cg: int = 64):
     n, h, w, c = x.shape
     assert c == dim
     c1, c2 = int(3 / 8 * dim), int(1 / 8 * dim)
     p0 = 16
+    assert p0 * 2 >= th, 'value rows [th, 2*th) must fit the slab'
     l0 = 16
-    wp = _pad_to(l0 + w + 16, _LANES)
+    tw = 128            # useful out columns per W-tile
+    wp = 2 * _LANES     # fixed lane count: scoped VMEM is W-independent
     nh = -(-h // th)
+    nw = -(-w // tw)
 
     xt = x.astype(jnp.float32).transpose(0, 1, 3, 2)  # (n, h, c, w)
-    xt = jnp.pad(xt, ((0, 0), (p0, nh * th + p0 - h), (0, 0), (l0, wp - w - l0)))
+    # Overlapping W-tiles assembled host-side (XLA copy): tile k spans
+    # padded columns [k*tw, k*tw + wp) of an image left-padded by l0, i.e.
+    # global columns [k*tw - l0, k*tw - l0 + wp).  Keeps every in-kernel
+    # DMA full-lane-extent (the round-2 alignment rules).
+    xt = jnp.pad(xt, ((0, 0), (p0, nh * th + p0 - h), (0, 0),
+                      (l0, (nw - 1) * tw + wp - l0 - w)))
+    xt = jnp.stack([xt[..., k * tw : k * tw + wp] for k in range(nw)], axis=1)
 
     kern = functools.partial(_kernel, th=th, p0=p0, c1=c1, c2=c2, h=h, w=w,
-                             l0=l0, cg=32, interpret=interpret)
+                             l0=l0, tw=tw, cg=cg, interpret=interpret)
     out = pl.pallas_call(
         kern,
-        grid=(n, nh),
-        out_shape=jax.ShapeDtypeStruct((n, nh, th, dim, wp), jnp.float32),
+        grid=(n, nw, nh),
+        out_shape=jax.ShapeDtypeStruct((n, nw, nh, th, dim, wp), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(14)
         ],
-        out_specs=pl.BlockSpec((1, 1, th, dim, wp), lambda b, i: (b, i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, th, dim, wp),
+                               lambda b, k, i: (b, k, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * p0, dim, wp), jnp.float32),   # slab (x -> query -> fuse_in)
-            pltpu.VMEM((th, dim, wp), jnp.float32),            # value
+            pltpu.VMEM((th + 2 * p0, dim, wp), jnp.float32),   # slab (x -> query -> fuse_in + value x)
             pltpu.VMEM((th + 18, dim, wp), jnp.float32),       # region output
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xt, wv, bv, wq, bq, wr, br, w1, b1, w2, b2, wf, bf, wo, bo)
 
-    out = out.reshape(n, nh * th, dim, wp)[:, :h, :, l0 : l0 + w]
+    # (n, nw, nh, th, dim, wp) -> crop each tile to its tw useful columns,
+    # reassemble rows and columns, crop to the true image.
+    out = out[..., l0 : l0 + tw].transpose(0, 2, 3, 4, 1, 5)
+    out = out.reshape(n, nh * th, dim, nw * tw)[:, :h, :, :w]
     return out.transpose(0, 1, 3, 2).astype(x.dtype)
 
 
-def fused_molrcm(p, x, dim: int, th: int = 16, interpret: bool = False):
+def fused_molrcm(p, x, dim: int, th: int = 16, interpret: bool = False,
+                 cg: int = 64):
     """Drop-in for archs/eimn.py::_molrcm.  ``p`` is the PTree scoped to the
     attention module; ``x`` is the NHWC input after norm1."""
     c1, c2 = int(3 / 8 * dim), int(1 / 8 * dim)
@@ -225,4 +277,4 @@ def fused_molrcm(p, x, dim: int, th: int = 16, interpret: bool = False):
     wf, bf = mat('fusion')
     wo, bo = mat('out')
     return _run(x, wv, bv, wq, bq, wr, br, w1, b1, w2, b2, wf, bf, wo, bo,
-                dim=dim, th=th, interpret=interpret)
+                dim=dim, th=th, interpret=interpret, cg=cg)
