@@ -169,13 +169,25 @@ def _build_list(data):
     return list(data)
 
 
+def _reject_tensor_from_id(data):
+    raise ValueError(
+        'TorchScript archive references tensors by constants-table id '
+        '(torch.jit._pickle.build_tensor_from_id), which the pure reader '
+        'does not resolve'
+    )
+
+
 _SCRIPT_GLOBALS: dict[tuple[str, str], Any] = {
     ('torch.jit._pickle', 'build_intlist'): _build_list,
     ('torch.jit._pickle', 'build_doublelist'): _build_list,
     ('torch.jit._pickle', 'build_boollist'): _build_list,
     ('torch.jit._pickle', 'build_strlist'): _build_list,
     ('torch.jit._pickle', 'build_tensorlist'): _build_list,
-    ('torch.jit._pickle', 'build_tensor_from_id'): lambda data: None,
+    # Tensors referenced by id live in the constants table, which this
+    # reader does not resolve — returning a placeholder would silently drop
+    # parameters from the state dict, so reject and let io/__init__ fall
+    # back to torch.jit.load when available.
+    ('torch.jit._pickle', 'build_tensor_from_id'): _reject_tensor_from_id,
     ('torch.jit._pickle', 'restore_type_tag'): lambda value, type_str: value,
 }
 

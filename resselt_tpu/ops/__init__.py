@@ -3,6 +3,7 @@ from .fused_conv import (
     fused_conv3x3_pack2,
     fused_conv_lk,
     lk_conv_available,
+    lk_conv_supported,
     pallas_conv_available,
 )
 from .window_attention import window_mha_pallas
@@ -12,6 +13,7 @@ __all__ = [
     'fused_conv3x3_pack2',
     'fused_conv_lk',
     'lk_conv_available',
+    'lk_conv_supported',
     'pallas_conv_available',
     'window_mha_pallas',
 ]

@@ -276,7 +276,7 @@ def fused_conv3x3_act(x, w_oihw, b=None, act: str = 'linear', th: int = 16, inte
 
 
 def _lk_kernel(x_hbm, w_ref, b_ref, o_ref, s0, s1, sem0, sem1, *, th: int, k: int,
-               hg: int, g_out: int, interpret: bool):
+               hg: int, g_out: int):
     """Large-kernel conv body: k row-shifts x (2*hg+1) group-shifts of MXU
     dots over a column-packed VMEM slab (see fused_conv_lk).
 
@@ -386,9 +386,17 @@ def use_fused_lk(on: bool) -> None:
     _FUSED_LK = bool(on)
 
 
+def lk_conv_supported(cin: int, cout: int, k: int) -> bool:
+    """Shapes fused_conv_lk supports: packed columns must fill the lanes.
+    Pure shape predicate — does not consult the kill switch."""
+    return cin in (8, 16, 32, 64) and 0 < cout <= cin and _LANES % cin == 0 and k % 2 == 1
+
+
 def lk_conv_available(cin: int, cout: int, k: int) -> bool:
-    """Shapes fused_conv_lk supports: packed columns must fill the lanes."""
-    return _FUSED_LK and cin in (8, 16, 32, 64) and 0 < cout <= cin and _LANES % cin == 0 and k % 2 == 1
+    """Dispatch gate: supported shape AND the kill switch is on.  Model
+    code should use this; direct fused_conv_lk callers are validated by
+    the shape predicate only."""
+    return _FUSED_LK and lk_conv_supported(cin, cout, k)
 
 
 @functools.partial(jax.jit, static_argnames=('k', 'act', 'th', 'interpret', 'compute_dtype'))
@@ -420,7 +428,7 @@ def fused_conv_lk(x, w_oihw, b=None, k: int = 17, act: str = 'linear', th: int =
         x = x[None]
     n, h, w, cin = x.shape
     cout = w_oihw.shape[0]
-    if not lk_conv_available(cin, cout, k):
+    if not lk_conv_supported(cin, cout, k):
         raise ValueError(f'unsupported lk conv: cin={cin} cout={cout} k={k}')
     p = _LANES // cin
     pad = k // 2
@@ -471,7 +479,7 @@ def fused_conv_lk(x, w_oihw, b=None, k: int = 17, act: str = 'linear', th: int =
     # the wide operand with zero in-kernel VPU work
     xp = jnp.stack([xp[:, :, dg : dg + g_in, :] for dg in range(ngs)], axis=1)
 
-    kern = functools.partial(_lk_kernel, th=th, k=k, hg=hg, g_out=g_out, interpret=interpret)
+    kern = functools.partial(_lk_kernel, th=th, k=k, hg=hg, g_out=g_out)
 
     def one(xi):
         return pl.pallas_call(

@@ -207,6 +207,9 @@ def _run(x, wv, bv, wq, bq, wr, br, w1, b1, w2, b2, wf, bf, wo, bo,
     c1, c2 = int(3 / 8 * dim), int(1 / 8 * dim)
     p0 = 16
     assert p0 * 2 >= th, 'value rows [th, 2*th) must fit the slab'
+    # Both HBM DMAs start at i*th (+p0): non-8-aligned row starts hard-crash
+    # the TPU worker (round-2 bisection), so th must stay a multiple of 8.
+    assert th % 8 == 0, 'th must be 8-row aligned for the HBM DMAs'
     l0 = 16
     tw = 128            # useful out columns per W-tile
     wp = 2 * _LANES     # fixed lane count: scoped VMEM is W-independent

@@ -345,7 +345,13 @@ def test_torchscript_real_model_detects(tmp_path):
     """A TorchScript-exported real arch must detect and run end-to-end via
     the pure archive reader (VERDICT r2 weak #8: no torch-as-runtime for
     .pt)."""
-    import torch
+    import os
+
+    # test_core.py runs in plain CI (ci.yaml) where neither torch nor the
+    # reference checkout exist — this one test needs both as its oracle.
+    torch = pytest.importorskip('torch')
+    if not os.path.isdir('/root/reference'):
+        pytest.skip('torch reference oracle not available')
 
     import resselt_tpu
     from tests.torch_ref import state_dict_to_numpy
