@@ -12,10 +12,13 @@ latency of the remote-TPU tunnel; scalar readback forces the sync.
 Per row: f32 and bf16 MP/s (output megapixels; the whole network runs in
 the input dtype), the XLA cost-analysis FLOPs of the compiled forward
 (`SRModel.cost`), the implied useful TFLOP/s of the bf16 row, and MFU as
-a percent of the 64-TFLOP padded-MXU chip peak (BENCHMARKS.md ceiling
-analysis).  MFU here is a *diagnostic* for spotting pathological rows, not
-a roofline claim: elementwise-dominated families are legitimately
-bandwidth-bound at single-digit MFU.
+a percent of the 197-TFLOP v5e bf16 spec peak.  Measured attainable on
+this chip: 164.5 TFLOP/s useful on a 128ch 3x3 conv = 83% of spec
+(tools/peak_conv.py) — round 2's "64-TFLOP padded-MXU peak" was a
+measurement artifact (latency-bound chained single matmuls).  MFU here is
+a *diagnostic* for spotting pathological rows, not a roofline claim:
+elementwise-dominated families are legitimately bandwidth-bound at
+single-digit MFU.
 
 Results accumulate in bench_families.json (resumable across tunnel
 stalls); bench_families.md is re-rendered from the full JSON each run.
@@ -34,7 +37,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 STATE = os.path.join(REPO, 'bench_families.json')
-PEAK_TFLOPS = 64.0  # padded-MXU chip peak, BENCHMARKS.md
+PEAK_TFLOPS = 197.0  # v5e bf16 spec peak; 164.5 measured attainable (tools/peak_conv.py)
 
 
 def log(*a):
@@ -181,9 +184,10 @@ def render(state: dict, order) -> str:
         '',
         'Reference-default model sizes (torch constructors), calibrated',
         'on-device loop (tools/bench_families.py).  MFU = useful TFLOP/s of',
-        'the bf16 row / 64-TFLOP padded-MXU peak — a diagnostic, not a',
-        'roofline: elementwise-heavy families are legitimately',
-        'bandwidth-bound at single-digit MFU (see notes).',
+        'the bf16 row / 197-TFLOP v5e bf16 spec peak; measured attainable on',
+        'this chip is 164.5 TFLOP/s on a 128ch 3x3 conv = 83% of spec',
+        '(tools/peak_conv.py).  A diagnostic, not a roofline: elementwise-',
+        'heavy families are legitimately bandwidth-bound at low MFU (notes).',
         '',
         '| model | tile | batch | f32 MP/s | bf16 MP/s | GFLOP/fwd | TFLOP/s (bf16) | MFU % |',
         '|---|---|---|---|---|---|---|---|',
@@ -193,17 +197,18 @@ def render(state: dict, order) -> str:
         if not r:
             lines.append(f'| {name} | - | - | - | - | - | - | - |')
             continue
+        mfu = 100 * r['tflops_bf16'] / PEAK_TFLOPS  # recompute: cached rows may predate a peak fix
         lines.append(
             f'| {name} | {r["tile"]} | {r["batch"]} | {r["mps_f32"]:.1f} | '
             f'{r["mps_bf16"]:.1f} | {r["gflop"]:.1f} | {r["tflops_bf16"]:.1f} | '
-            f'{r["mfu_pct"]:.1f} |'
+            f'{mfu:.1f} |'
         )
     lines += [
         '',
         'Notes on the low-MFU rows (all re-measured standalone; outlier rule',
         'in CLAUDE.md):',
         '',
-        '- **eimn (8.7%)**: per-op anatomy (tools/profile_eimn.py, 256²b8 f32:',
+        '- **eimn (2.8%)**: per-op anatomy (tools/profile_eimn.py, 256²b8 f32:',
         '  1x1 conv 1.35 ms, plain 5x5 dw 1.60, dilated 5x5-d2+7x7-d3 pair',
         '  6.58, SAL@340ch 2.80, DFFM-global 0.25) — the dilated depthwise',
         '  pair is 40% of the block and runs at 0.35 TFLOP/s in every',
@@ -214,9 +219,9 @@ def render(state: dict, order) -> str:
         '  construction.)',
         '- **gater f32 (2.9 vs 11.2 bf16)**: reproducible, not noise — the',
         '  GatedCNN 7x7 depthwise stacks pay a ~4x f32-vs-bf16 VPU penalty;',
-        '  the serving path is bf16 (41% MFU there).  gaterv2/v3 share the',
+        '  the serving path is bf16 (13% MFU there).  gaterv2/v3 share the',
         '  same depthwise-heavy profile plus small-latent U-net stages.',
-        '- **omni / lawfft / atd (3.6-5%)**: many tiny windowed/grid',
+        '- **omni / lawfft / atd (1.2-1.6%)**: many tiny windowed/grid',
         '  attention ops (omni, n=64), FFT mixing whose FLOPs the cost model',
         '  counts differently (lawfft), and sort/gather-bound AC_MSA (atd,',
         '  ablated in round 2) — model-inherent shapes, not fixable rows.',
