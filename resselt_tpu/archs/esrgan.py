@@ -117,21 +117,48 @@ def _get_scale(state) -> int:
 
 
 def _rdb(p: PTree, x, plus: bool):
-    """ResidualDenseBlock_5C (block.py:347-463). CNA mode: conv -> lrelu(0.2)."""
+    """ResidualDenseBlock_5C (block.py:347-463), producer-decomposed.
 
-    def cl(name, v):  # conv + leaky
-        return F.leaky_relu(p.conv(f'{name}.0', v, padding='same'), 0.2)
+    Identical math to the reference's five convs c_i = conv(concat(x,
+    f_1..f_{i-1})) with each conv's channel sum distributed over input
+    slices and regrouped by PRODUCER: stage j emits one wide conv from
+    f_j (stage 0: from x) to all its later consumers, so conv output
+    widths are 4gc+nf/3gc+nf/2gc+nf/gc+nf/nf instead of gc — cutting the
+    MXU's cout->128 lane padding 2.2x (the contraction dim never lane-
+    pads).  Measured 1.73x on the RDB chain in bf16, f32-neutral
+    (tools/probe_rdb_producer.py); the only fp difference is summation
+    order.  Weights are resliced from the canonical torch-layout params
+    at trace time (a few hundred KB of concats, negligible).
+    """
+    nf = x.shape[-1]
+    ws = [p[f'conv{i}.0.weight'] for i in range(1, 6)]
+    gc = ws[0].shape[0]
 
-    x1 = cl('conv1', x)
-    x2 = cl('conv2', jnp.concatenate([x, x1], axis=-1))
-    if plus:
-        x2 = x2 + F.conv2d(x, p['conv1x1.weight'])
-    x3 = cl('conv3', jnp.concatenate([x, x1, x2], axis=-1))
-    x4 = cl('conv4', jnp.concatenate([x, x1, x2, x3], axis=-1))
-    if plus:
-        x4 = x4 + x2
-    x5 = p.conv('conv5.0', jnp.concatenate([x, x1, x2, x3, x4], axis=-1), padding='same')
-    return x5 * 0.2 + x
+    def producer_w(j):  # stage j: j==0 consumes x, j>=1 consumes f_j
+        lo = 0 if j == 0 else nf + (j - 1) * gc
+        hi = nf if j == 0 else lo + gc
+        return jnp.concatenate([ws[i][:, lo:hi] for i in range(j, 5)], axis=0)
+
+    # all five biases land once, in the stage-0 output
+    bias0 = [p.get(f'conv{i}.0.bias') for i in range(1, 6)]
+    if any(b is not None for b in bias0):
+        bias0 = jnp.concatenate(
+            [b if b is not None else jnp.zeros(w.shape[0], x.dtype)
+             for b, w in zip(bias0, ws)])
+    else:
+        bias0 = None
+
+    a = F.conv2d(x, producer_w(0), bias0, padding='same')
+    f2 = None
+    for j in range(1, 5):
+        f = F.leaky_relu(a[..., :gc], 0.2)
+        if plus and j == 2:
+            f = f + F.conv2d(x, p['conv1x1.weight'])
+            f2 = f
+        if plus and j == 4:
+            f = f + f2
+        a = a[..., gc:] + F.conv2d(f, producer_w(j), padding='same')
+    return a * 0.2 + x
 
 
 def _rrdb(p: PTree, x, plus: bool):
