@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ..core import Architecture, KeyCondition, ModelMetadata, SRModel
 from ..core.state_dict import get_seq_len
 from ..nn import functional as F
+from ..nn import spectral
 from ..nn.params import PTree
 from ..nn.upsample import SAMPLE_MODS3, uni_upsample_v3
 
@@ -49,9 +50,9 @@ def _fourier_unit(p: PTree, x):
     consecutive-channel complex reassembly (as GFISRV2)."""
     b, h, w, c = x.shape
     orig_dtype = x.dtype
-    xf = jnp.fft.rfft2(x.astype(jnp.float32).transpose(0, 3, 1, 2), norm='ortho')
-    wf = xf.shape[-1]
-    ff = jnp.concatenate([jnp.real(xf), jnp.imag(xf)], axis=1)
+    fre, fim = spectral.rfft2_planes(x.astype(jnp.float32).transpose(0, 3, 1, 2), norm='ortho')
+    wf = fre.shape[-1]
+    ff = jnp.concatenate([fre, fim], axis=1)
     ff = ff.transpose(0, 2, 3, 1).astype(orig_dtype)
 
     ff = _rms(p, 'rn', ff)
@@ -59,8 +60,10 @@ def _fourier_unit(p: PTree, x):
     ff = F.gelu(p.conv('fdc', ff))
 
     ff = ff.reshape(b, h, wf, c, 2).astype(jnp.float32)
-    comp = (ff[..., 0] + 1j * ff[..., 1]).transpose(0, 3, 1, 2)
-    out = jnp.fft.irfft2(comp, s=(h, w), norm='ortho').transpose(0, 2, 3, 1).astype(orig_dtype)
+    out = spectral.irfft2_planes(
+        ff[..., 0].transpose(0, 3, 1, 2), ff[..., 1].transpose(0, 3, 1, 2),
+        s=(h, w), norm='ortho',
+    ).transpose(0, 2, 3, 1).astype(orig_dtype)
     return _rms(p, 'post_norm', out)
 
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..core import Architecture, KeyCondition, ModelMetadata, SRModel
 from ..core.state_dict import get_seq_len
 from ..nn import functional as F
+from ..nn import spectral
 from ..nn.params import PTree
 from ..nn.upsample import SAMPLE_MODS3, uni_upsample_v3
 
@@ -48,10 +49,10 @@ def fourier_unit(p: PTree, x):
     h, w = x.shape[1], x.shape[2]
 
     orig_dtype = x.dtype
-    xf = jnp.fft.rfft2(x.astype(jnp.float32).transpose(0, 3, 1, 2), norm='ortho')  # (b, c, h, w')
-    wf = xf.shape[-1]
+    fre, fim = spectral.rfft2_planes(x.astype(jnp.float32).transpose(0, 3, 1, 2), norm='ortho')
+    wf = fre.shape[-1]
     # interleave real/imag per channel: (b, h, w', 2c) with channel = c*2 + d
-    ff = jnp.stack([jnp.real(xf), jnp.imag(xf)], axis=2)  # (b, c, 2, h, w')
+    ff = jnp.stack([fre, fim], axis=2)  # (b, c, 2, h, w')
     ff = ff.reshape(b, 2 * c, h, wf).transpose(0, 2, 3, 1).astype(orig_dtype)
 
     ff = F.layer_norm(ff, p['ln.weight'], p['ln.bias'], eps=1e-6)
@@ -65,8 +66,10 @@ def fourier_unit(p: PTree, x):
     ff = F.gelu(ff)
 
     ff = ff.reshape(b, h, wf, c, 2)
-    comp = (ff[..., 0] + 1j * ff[..., 1]).transpose(0, 3, 1, 2)
-    out = jnp.fft.irfft2(comp.astype(jnp.complex64), s=(h, w), norm='ortho')
+    out = spectral.irfft2_planes(
+        ff[..., 0].transpose(0, 3, 1, 2), ff[..., 1].transpose(0, 3, 1, 2),
+        s=(h, w), norm='ortho',
+    )
     out = out.transpose(0, 2, 3, 1).astype(orig_dtype)
     # unpad
     return out[:, 2 : h - 2 - pb, 2 : w - 2 - pr, :]

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ..core import Architecture, KeyCondition, ModelMetadata, SRModel
 from ..core.state_dict import get_seq_len
 from ..nn import functional as F
+from ..nn import spectral
 from ..nn.params import PTree
 from ..nn.upsample import SAMPLE_MODS3, uni_upsample_v3
 
@@ -45,9 +46,9 @@ def fourier_unit_v2(p: PTree, x):
     (a reference quirk, replicated exactly)."""
     b, h, w, c = x.shape
     orig_dtype = x.dtype
-    xf = jnp.fft.rfft2(x.astype(jnp.float32).transpose(0, 3, 1, 2), norm='ortho')  # (b, c, h, w')
-    wf = xf.shape[-1]
-    ff = jnp.concatenate([jnp.real(xf), jnp.imag(xf)], axis=1)  # (b, 2c, h, w') block layout
+    fre, fim = spectral.rfft2_planes(x.astype(jnp.float32).transpose(0, 3, 1, 2), norm='ortho')
+    wf = fre.shape[-1]
+    ff = jnp.concatenate([fre, fim], axis=1)  # (b, 2c, h, w') block layout
     ff = ff.transpose(0, 2, 3, 1).astype(orig_dtype)  # NHWC
 
     ff = _rms(p, 'rn', ff)
@@ -56,8 +57,10 @@ def fourier_unit_v2(p: PTree, x):
 
     # pair consecutive channels as (real, imag)
     ff = ff.reshape(b, h, wf, c, 2).astype(jnp.float32)
-    comp = (ff[..., 0] + 1j * ff[..., 1]).transpose(0, 3, 1, 2)
-    out = jnp.fft.irfft2(comp, s=(h, w), norm='ortho').transpose(0, 2, 3, 1).astype(orig_dtype)
+    out = spectral.irfft2_planes(
+        ff[..., 0].transpose(0, 3, 1, 2), ff[..., 1].transpose(0, 3, 1, 2),
+        s=(h, w), norm='ortho',
+    ).transpose(0, 2, 3, 1).astype(orig_dtype)
     return _rms(p, 'post_norm', out)
 
 

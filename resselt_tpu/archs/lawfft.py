@@ -22,6 +22,7 @@ import numpy as np
 from ..core import Architecture, KeyCondition, ModelMetadata, SRModel
 from ..core.state_dict import get_seq_len
 from ..nn import functional as F
+from ..nn import spectral
 from ..nn.params import PTree
 from ..nn.upsample import SAMPLE_MODS, uni_upsample
 
@@ -73,14 +74,19 @@ def _fsas(p: PTree, x, mid_factor: float, patch_size: int, windowed: bool):
     # fft over spatial dims; data is NHWC so move C before the fft axes
     qf = q.transpose(0, 3, 1, 2).astype(jnp.float32)
     kf = k.transpose(0, 3, 1, 2).astype(jnp.float32)
+    def corr(qf, kf, s):
+        qr, qi = spectral.rfft2_planes(qf)
+        kr, ki = spectral.rfft2_planes(kf)
+        return spectral.irfft2_planes(qr * kr - qi * ki, qr * ki + qi * kr, s=s)
+
     if windowed:
         ps = patch_size
         qf = qf.reshape(b, third, h // ps, ps, w // ps, ps).transpose(0, 1, 2, 4, 3, 5)
         kf = kf.reshape(b, third, h // ps, ps, w // ps, ps).transpose(0, 1, 2, 4, 3, 5)
-        out = jnp.fft.irfft2(jnp.fft.rfft2(qf) * jnp.fft.rfft2(kf), s=(ps, ps))
+        out = corr(qf, kf, (ps, ps))
         out = out.transpose(0, 1, 2, 4, 3, 5).reshape(b, third, h, w)
     else:
-        out = jnp.fft.irfft2(jnp.fft.rfft2(qf) * jnp.fft.rfft2(kf), s=(h, w))
+        out = corr(qf, kf, (h, w))
     out = out.transpose(0, 2, 3, 1).astype(x.dtype)
     out = _ln_ch(p, 'norm', out)
     return p.conv('project_out', v * out)

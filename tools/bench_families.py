@@ -221,10 +221,14 @@ def render(state: dict, order) -> str:
         '  GatedCNN 7x7 depthwise stacks pay a ~4x f32-vs-bf16 VPU penalty;',
         '  the serving path is bf16 (13% MFU there).  gaterv2/v3 share the',
         '  same depthwise-heavy profile plus small-latent U-net stages.',
-        '- **omni / lawfft / atd (1.2-1.6%)**: many tiny windowed/grid',
-        '  attention ops (omni, n=64), FFT mixing whose FLOPs the cost model',
-        '  counts differently (lawfft), and sort/gather-bound AC_MSA (atd,',
-        '  ablated in round 2) — model-inherent shapes, not fixable rows.',
+        '- **omni / atd (1.2-1.6%)**: many tiny windowed/grid attention',
+        '  ops (omni, n=64) and sort/gather-bound AC_MSA (atd, ablated in',
+        '  round 2) — model-inherent shapes, not fixable rows.',
+        '- **FFT families (gfisr/gfisrv2/figsr/lawfft)**: rows reflect the',
+        '  matmul-DFT path (nn/spectral.py) — rfft2/irfft2 as HIGHEST-',
+        '  precision MXU matmuls, +8/+27/+29/+62% bf16 over jnp.fft.',
+        '  lawfft remains low-MFU: its FSAS mixing is elementwise-heavy',
+        '  and the cost model counts DFT matmuls as real FLOPs.',
         '- **dat-s**: the fused window-attention kernel only wins above',
         '  ~1024 stacked windows (512 loses 6.5 vs 7.4 MP/s, 1024 wins 8.4',
         '  vs 6.7); the dispatch gate now requires batch*nW >= 1024, which',
