@@ -57,13 +57,14 @@ class ModelMetadata:
 
 def _dispatch_flags() -> tuple:
     """Current trace-time kernel-dispatch settings, used as jit cache keys."""
+    from ..nn.functional import block_diag_groups_enabled
     from ..nn.spectral import mm_dft_enabled
     from ..nn.window import fused_attention_enabled, packed_attention_enabled
     from ..ops.fused_conv import fused_lk_enabled
     from ..ops.molrcm import fused_molrcm_enabled
 
     return (fused_attention_enabled(), fused_lk_enabled(), packed_attention_enabled(),
-            fused_molrcm_enabled(), mm_dft_enabled())
+            fused_molrcm_enabled(), mm_dft_enabled(), block_diag_groups_enabled())
 
 
 def _to_jax_params(params: Mapping[str, np.ndarray], keep_dtypes: bool = False):

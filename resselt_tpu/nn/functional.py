@@ -28,6 +28,42 @@ def _pair(v) -> tuple[int, int]:
 # Convolutions
 # ---------------------------------------------------------------------------
 
+_BLOCK_DIAG_GROUPS = True
+
+
+def use_block_diag_groups(on: bool) -> None:
+    """Kill switch for the grouped-conv -> block-diagonal dense rewrite
+    (mirrors ops.fused_conv.use_fused_lk; keyed into jit caches via
+    core.factory._dispatch_flags)."""
+    global _BLOCK_DIAG_GROUPS
+    _BLOCK_DIAG_GROUPS = bool(on)
+
+
+def block_diag_groups_enabled() -> bool:
+    return _BLOCK_DIAG_GROUPS
+
+
+def _block_diag_supported(groups: int, cpg: int, cin: int) -> bool:
+    """Shapes where the dense rewrite measured faster (tools/probe_group_conv.py):
+    2-channels-per-group convs lose 4.4-18x under XLA's TPU grouped path
+    (0.06 TFLOP/s at 48gx2ch 256^2b8) while the block-diagonal dense
+    equivalent runs on the MXU.  True depthwise (cpg=1) measured FASTER
+    under XLA (dense 0.26-0.96x) and stays native; cpg>2 has no call site
+    and is unmeasured, so it stays native too."""
+    return cpg == 2 and groups >= 8 and cin <= 1024
+
+
+def _block_diag_weight(w, groups: int):
+    """(cout, cpg, kh, kw) grouped weight -> (cout, groups*cpg, kh, kw) dense
+    with the group blocks on the diagonal.  Exact: off-block zeros add
+    nothing.  Traced per forward, but the expansion is a tiny broadcast
+    multiply (cout*cin*k*k elements) vs the conv it feeds."""
+    cout, cpg, kh, kw = w.shape
+    opg = cout // groups
+    eye = jnp.eye(groups, dtype=w.dtype)
+    dense = jnp.einsum('gockw,gh->gohckw', w.reshape(groups, opg, cpg, kh, kw), eye)
+    return dense.reshape(cout, groups * cpg, kh, kw)
+
 
 def conv2d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
     """2-D convolution, torch semantics. ``x``: NHWC, ``w``: OIHW.
@@ -39,6 +75,10 @@ def conv2d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
     if padding == 'same':
         padding = ((kh - 1) * dh // 2, (kw - 1) * dw // 2)
     ph, pw = _pair(padding)
+    if (groups > 1 and _BLOCK_DIAG_GROUPS and jax.default_backend() != 'cpu'
+            and _block_diag_supported(groups, w.shape[1], x.shape[-1])):
+        w = _block_diag_weight(w, groups)
+        groups = 1
     y = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),

@@ -1,5 +1,6 @@
 """Torch-parity tests for the shared functional ops."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -178,3 +179,21 @@ def test_prelu(rng):
     want = nhwc(TF.prelu(nchw(x), torch.from_numpy(w)))
     got = F.prelu(x, w)
     np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize('c,groups,k', [(96, 48, 3), (32, 16, 3), (64, 32, 5)])
+def test_block_diag_group_rewrite(rng, c, groups, k):
+    """The grouped->block-diag-dense rewrite (TPU dispatch) is exact: the
+    expanded dense conv equals both our grouped conv and torch's."""
+    x = rng.standard_normal((2, 10, 11, c), dtype=np.float32)
+    w = rng.standard_normal((c, c // groups, k, k), dtype=np.float32) * 0.1
+    b = rng.standard_normal(c, dtype=np.float32)
+    want = nhwc(TF.conv2d(nchw(x), torch.from_numpy(w), torch.from_numpy(b),
+                          padding=k // 2, groups=groups))
+    grouped = np.asarray(F.conv2d(x, w, b, padding=k // 2, groups=groups))
+    wd = np.asarray(F._block_diag_weight(jnp.asarray(w), groups))
+    dense = np.asarray(F.conv2d(x, wd, b, padding=k // 2))
+    np.testing.assert_allclose(grouped, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dense, want, rtol=1e-4, atol=1e-5)
+    # predicate: cpg==2 rewrites, true depthwise does not
+    assert F._block_diag_supported(groups, c // groups, c) == (c // groups == 2)

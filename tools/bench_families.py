@@ -219,11 +219,24 @@ def render(state: dict, order) -> str:
         '  construction.)',
         '- **gater f32 (2.9 vs 11.2 bf16)**: reproducible, not noise — the',
         '  GatedCNN 7x7 depthwise stacks pay a ~4x f32-vs-bf16 VPU penalty;',
-        '  the serving path is bf16 (13% MFU there).  gaterv2/v3 share the',
-        '  same depthwise-heavy profile plus small-latent U-net stages.',
-        '- **omni / atd (1.2-1.6%)**: many tiny windowed/grid attention',
-        '  ops (omni, n=64) and sort/gather-bound AC_MSA (atd, ablated in',
-        '  round 2) — model-inherent shapes, not fixable rows.',
+        '  the serving path is bf16 (13% MFU there).',
+        '- **gaterv2/v3**: rows reflect the grouped->block-diag-dense conv',
+        '  rewrite (nn/functional.py): XLA ran their 2-channels-per-group',
+        '  local.2 convs at 0.06 TFLOP/s (16 ms = 79% of a stage-0 block,',
+        '  tools/profile_gaterv2.py); the dense-equivalent MXU form is',
+        '  4.4-18x faster per conv -> gaterv2 3.3->7.3, gaterv3 2.3->5.7',
+        '  bf16 MP/s (~2.2x whole-model, both dtypes).  GFLOP/fwd columns',
+        '  count the dense FLOPs the compiled model now actually runs.',
+        '- **atd (1.6%)**: sort/gather-bound AC_MSA (ablated in round 2)',
+        '  — model-inherent, not a fixable row.',
+        '- **omni**: row reflects the window-first channel-attention',
+        '  rewrite (archs/omni.py::_channel_attn): the reference layout',
+        '  puts window positions in the lane dim via 7-D transposes that',
+        '  cost 15-19 ms each; partitioning windows first and contracting',
+        '  tokens inside the einsums is 2.6-3.4x per attention',
+        '  (tools/probe_omni_attn.py) -> 21.8->32.5 bf16 MP/s (+49%).',
+        '  Remaining MFU is model-inherent: n=64 hd=16 window matmuls',
+        '  (head-transpose-free einsum measured parity, probe_omni_wattn).',
         '- **FFT families (gfisr/gfisrv2/figsr/lawfft)**: rows reflect the',
         '  matmul-DFT path (nn/spectral.py) — rfft2/irfft2 as HIGHEST-',
         '  precision MXU matmuls, +8/+27/+29/+62% bf16 over jnp.fft.',
