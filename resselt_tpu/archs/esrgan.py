@@ -133,11 +133,25 @@ def _rdb(p: PTree, x, plus: bool):
     nf = x.shape[-1]
     ws = [p[f'conv{i}.0.weight'] for i in range(1, 6)]
     gc = ws[0].shape[0]
+    int8 = str(ws[0].dtype) == 'int8'  # quantized serving (resselt_tpu.quant)
+    if int8:
+        # per-OUT-channel int8 scales slice/concat along the same axis as
+        # the producer regroup, so the decomposition composes with PTQ
+        scales = [p[f'conv{i}.0.weight_scale'] for i in range(1, 6)]
 
     def producer_w(j):  # stage j: j==0 consumes x, j>=1 consumes f_j
         lo = 0 if j == 0 else nf + (j - 1) * gc
         hi = nf if j == 0 else lo + gc
-        return jnp.concatenate([ws[i][:, lo:hi] for i in range(j, 5)], axis=0)
+        w = jnp.concatenate([ws[i][:, lo:hi] for i in range(j, 5)], axis=0)
+        if int8:
+            return w, jnp.concatenate([scales[i] for i in range(j, 5)])
+        return w, None
+
+    def pconv(xin, j, bias=None):
+        w, s = producer_w(j)
+        if int8:
+            return F.conv2d_int8(xin, w, s, bias, padding='same')
+        return F.conv2d(xin, w, bias, padding='same')
 
     # all five biases land once, in the stage-0 output
     bias0 = [p.get(f'conv{i}.0.bias') for i in range(1, 6)]
@@ -148,16 +162,20 @@ def _rdb(p: PTree, x, plus: bool):
     else:
         bias0 = None
 
-    a = F.conv2d(x, producer_w(0), bias0, padding='same')
+    a = pconv(x, 0, bias0)
     f2 = None
     for j in range(1, 5):
         f = F.leaky_relu(a[..., :gc], 0.2)
         if plus and j == 2:
-            f = f + F.conv2d(x, p['conv1x1.weight'])
+            w11 = p['conv1x1.weight']
+            if str(w11.dtype) == 'int8':
+                f = f + F.conv2d_int8(x, w11, p['conv1x1.weight_scale'])
+            else:
+                f = f + F.conv2d(x, w11)
             f2 = f
         if plus and j == 4:
             f = f + f2
-        a = a[..., gc:] + F.conv2d(f, producer_w(j), padding='same')
+        a = a[..., gc:] + pconv(f, j)
     return a * 0.2 + x
 
 

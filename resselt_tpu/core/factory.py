@@ -150,6 +150,20 @@ class SRModel:
         """Un-jitted forward (for composition under an outer jit/shard_map)."""
         return self._apply_fn(self.config, params, x)
 
+    def quantize_int8(self) -> 'SRModel':
+        """Opt-in int8 serving copy (resselt_tpu.quant): eligible conv
+        weights become per-channel int8 (+ dynamic activation quant at
+        apply time, ~2x MXU rate).  Explicitly lossy — quality cost per
+        family in bench_int8.md; raises if nothing is eligible."""
+        from ..quant import quantize_params
+
+        q, n = quantize_params({k: np.asarray(v) for k, v in self.params.items()})
+        if n == 0:
+            raise ValueError(f'{self.arch_id}: no int8-eligible conv weights')
+        clone = SRModel(self.arch_id, self.config, q, self.metadata, self._apply_fn)
+        clone.tile_batch = self.tile_batch
+        return clone
+
     def cost(self, height: int, width: int, batch: int = 1) -> dict:
         """Compiled-graph cost analysis for one forward at the given size.
 

@@ -65,10 +65,47 @@ def _block_diag_weight(w, groups: int):
     return dense.reshape(cout, groups * cpg, kh, kw)
 
 
+def conv2d_int8(x, w8, w_scale, b=None, stride=1, padding=0, dilation=1):
+    """int8 MXU conv: dynamic per-tensor activation quant, per-out-channel
+    int8 weights, int32 accumulate, f32 rescale (resselt_tpu.quant).
+
+    ``w8``: int8 OIHW; ``w_scale``: f32 (O,).  ~2x the bf16 conv rate on
+    well-shaped channels (tools/probe_int8.py); quality cost measured in
+    bench_int8.md.  groups != 1 is not supported (ineligible by design)."""
+    sh, sw = _pair(stride)
+    dh, dw = _pair(dilation)
+    kh, kw = w8.shape[-2], w8.shape[-1]
+    if padding == 'same':
+        padding = ((kh - 1) * dh // 2, (kw - 1) * dw // 2)
+    ph, pw = _pair(padding)
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    s_a = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq,
+        w8,
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=('NHWC', 'OIHW', 'NHWC'),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (w_scale.astype(jnp.float32) * s_a)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(orig)
+
+
 def conv2d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
     """2-D convolution, torch semantics. ``x``: NHWC, ``w``: OIHW.
 
     ``padding`` may be an int, an (ph, pw) pair, or 'same' (odd kernels)."""
+    if w.dtype == jnp.int8:
+        raise TypeError(
+            'int8 conv weight reached F.conv2d without its scale — route '
+            'quantized convs through PTree.conv or F.conv2d_int8'
+        )
     sh, sw = _pair(stride)
     dh, dw = _pair(dilation)
     kh, kw = w.shape[-2], w.shape[-1]

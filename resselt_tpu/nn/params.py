@@ -44,6 +44,11 @@ class PTree:
 
     def conv(self, name: str, x, stride=1, padding=0, dilation=1, groups=1):
         w, b = self.wb(name)
+        if str(w.dtype) == 'int8':  # quantized serving (resselt_tpu.quant)
+            if groups != 1:
+                raise ValueError(f'int8 conv {name!r} with groups={groups} (ineligible shape quantized?)')
+            return F.conv2d_int8(x, w, self[f'{name}.weight_scale'], b,
+                                 stride=stride, padding=padding, dilation=dilation)
         return F.conv2d(x, w, b, stride=stride, padding=padding, dilation=dilation, groups=groups)
 
     def linear(self, name: str, x):

@@ -92,6 +92,10 @@ def main(argv=None) -> int:
                         help='pad inputs to tile multiples so mixed-size batches share one '
                              'compiled tile grid (slight border deviation within the halo)')
     parser.add_argument('--bf16', action='store_true', help='run compute in bfloat16')
+    parser.add_argument('--int8', action='store_true',
+                        help='int8-quantize eligible conv weights (lossy; only helps '
+                             '>=128-channel conv bodies — measured neutral-to-SLOWER '
+                             'on the standard SR families, see bench_int8.md)')
     parser.add_argument(
         '--no-fused-attention', action='store_true',
         help='disable the fused Pallas window-attention kernel (on by default '
@@ -132,6 +136,9 @@ def main(argv=None) -> int:
         model.arch_id, meta.name, meta.upscale, meta.in_channels, meta.out_channels,
         type(model.config).__name__, time.perf_counter() - t0,
     )
+    if args.int8:
+        model = model.quantize_int8()
+        logger.info('int8-quantized eligible conv weights (lossy serving mode)')
 
     if os.path.isdir(args.input):
         names = sorted(n for n in os.listdir(args.input) if n.lower().endswith(IMAGE_EXTS))
