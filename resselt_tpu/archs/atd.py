@@ -100,7 +100,13 @@ def _ac_msa(p: PTree, qkv, sim, heads: int, category_size: int):
     # SLOWER on v5e: 130 vs 124 ms/tile at ATD-light 224^2; the (b, n, T)
     # one-hot cumsum costs more than the bitonic sort it replaces.)
     sort_idx = jnp.argsort(tk_id, axis=-1, stable=True)
-    shuffled = jnp.take_along_axis(qkv, sort_idx[..., None], axis=1)
+    # Row shuffles as flattened (b*n, c) single-axis takes: 2.7x the
+    # batched take_along_axis and 6x the row scatter on v5e (0.21 vs
+    # 0.56 ms gather, 0.16+eps vs 1.00 ms unsort at 192^2 b2 bf16,
+    # tools/probe_gather.py). The argsort itself is free (0.013 ms).
+    boff = (jnp.arange(b, dtype=sort_idx.dtype) * n)[:, None]
+    shuffled = jnp.take(qkv.reshape(b * n, c3), (sort_idx + boff).reshape(-1),
+                        axis=0).reshape(b, n, c3)
     if pad_n > 0:
         tail = jnp.flip(shuffled[:, n - pad_n : n, :], axis=1)
         shuffled = jnp.concatenate([shuffled, tail], axis=1)
@@ -114,10 +120,13 @@ def _ac_msa(p: PTree, qkv, sim, heads: int, category_size: int):
     out = jnp.einsum('bghnm,bghmd->bghnd', attn, v, preferred_element_type=jnp.float32).astype(qkv.dtype)
     out = out.transpose(0, 1, 3, 2, 4).reshape(b, n + pad_n, c)[:, :n, :]
 
-    # unsort: sort_idx is a permutation, so scatter rows straight back to
-    # their original positions — replaces the reference's second full
-    # argsort + gather (atd/arch.py:322-325) with one scatter
-    out = jnp.zeros_like(out).at[jnp.arange(b)[:, None], sort_idx].set(out)
+    # unsort (atd/arch.py:322-325): invert the permutation with a cheap
+    # (b, n) int32 scatter, then gather rows back — a row scatter of the
+    # activations measured 6x slower than this on v5e (probe_gather.py)
+    inv = jnp.zeros_like(sort_idx).at[jnp.arange(b)[:, None], sort_idx].set(
+        jnp.broadcast_to(jnp.arange(n, dtype=sort_idx.dtype), (b, n)))
+    out = jnp.take(out.reshape(b * n, c), (inv + boff).reshape(-1),
+                   axis=0).reshape(b, n, c)
     return F.linear(out, p['proj.weight'], p.get('proj.bias'))
 
 
