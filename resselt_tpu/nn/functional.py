@@ -496,12 +496,17 @@ def grid_sample_bilinear(x, grid, align_corners: bool = False, padding_mode: str
     tx = fx - x0
     ty = fy - y0
 
+    xr = x.reshape(n * h * w, c)
+    boff = (jnp.arange(n, dtype=jnp.int32) * (h * w)).reshape(n, 1, 1)
+
     def gather(yi, xi):
+        # flattened (n*h*w, c) single-axis take: 2.7x a batched
+        # multi-dim gather on v5e (tools/probe_gather.py)
         valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        batch = jnp.arange(n).reshape(n, 1, 1)
-        vals = x[batch, yc, xc]  # (N, Ho, Wo, C)
+        flat = (boff + yc * w + xc).reshape(-1)
+        vals = jnp.take(xr, flat, axis=0).reshape(*yi.shape, c)
         if padding_mode == 'zeros':
             vals = jnp.where(valid[..., None], vals, 0)
         return vals

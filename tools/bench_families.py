@@ -227,8 +227,15 @@ def render(state: dict, order) -> str:
         '  4.4-18x faster per conv -> gaterv2 3.3->7.3, gaterv3 2.3->5.7',
         '  bf16 MP/s (~2.2x whole-model, both dtypes).  GFLOP/fwd columns',
         '  count the dense FLOPs the compiled model now actually runs.',
-        '- **atd (1.6%)**: sort/gather-bound AC_MSA (ablated in round 2)',
-        '  — model-inherent, not a fixable row.',
+        "- **atd (1.8%)**: round-2's \"sort-bound AC_MSA\" framing was",
+        '  wrong — the argsort is free (0.013 ms); the (b, n, c) row',
+        '  gather/scatter dominated it (1.5 of a 3.0 ms layer at 192^2',
+        '  b2 bf16, tools/profile_atd.py).  Flattened (b*n, c) takes +',
+        '  an int-scatter permutation inverse (tools/probe_gather.py)',
+        '  run the shuffles 2.7x/6x faster: AC_MSA 1.50 -> 0.85 ms,',
+        '  model 6.4 -> 8.0 f32 / 11.3 -> 12.5 bf16 MP/s.  What remains',
+        '  is window attention (0.91 ms, the closed n=256 fused-attn',
+        '  dead end) + MSA einsums + ConvFFN — model-inherent.',
         '- **omni**: row reflects the window-first channel-attention',
         '  rewrite (archs/omni.py::_channel_attn): the reference layout',
         '  puts window positions in the lane dim via 7-D transposes that',
