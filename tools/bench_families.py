@@ -253,6 +253,23 @@ def render(state: dict, order) -> str:
         '  ~1024 stacked windows (512 loses 6.5 vs 7.4 MP/s, 1024 wins 8.4',
         '  vs 6.7); the dispatch gate now requires batch*nW >= 1024, which',
         '  keeps serving (tile_batch 8) fused and small batches on XLA.',
+        '- **rha (9.8%)**: block anatomy (tools/profile_rha_rtmosr.py,',
+        '  192^2 b4 bf16): fc1 64->192ch 3x3 runs 35 TFLOP/s and fc2',
+        '  96->64 runs 16.6 — both AT the small-C padded-lane conv',
+        '  ceiling (the closed k<=5 dense-packing line); the rest is the',
+        '  down-8-pooled FLA attention + mish gates.  Model-inherent.',
+        '- **rtmosr (7.1%)**: 2-block model — fc1/fc2/conv-path all at',
+        '  the 32-80ch padded-conv rate (21-28 TFLOP/s) and only 142',
+        '  GFLOP/fwd to amortize the unshuffle/pool/PS data movement.',
+        '  Absolute rate is the 2nd-fastest bf16 row (208 MP/s).',
+        '- **flexnet (5.1%)**: profiled, no single hotspot (tools/',
+        '  profile_flexnet.py) — cost spread over dw convs, window attn',
+        '  at n=64, and LayerNorms on a 48ch trunk.  Model-inherent.',
+        '- **hat-s / fdat**: profiled to the XLA formulation ceiling in',
+        '  round 3 (tools/profile_hat.py, probe_ocab_asm.py): window',
+        '  attention n=256 hd<=24 and OCAB assembly dominate; the fused',
+        '  and head-packed kernel variants all measured at or below XLA',
+        '  (dead ends in CLAUDE.md).  fdat shares the DAT-class blocks.',
     ]
     return '\n'.join(lines) + '\n'
 
