@@ -131,13 +131,22 @@ def _rdb(p: PTree, x, plus: bool):
     at trace time (a few hundred KB of concats, negligible).
     """
     nf = x.shape[-1]
-    ws = [p[f'conv{i}.0.weight'] for i in range(1, 6)]
-    gc = ws[0].shape[0]
-    int8 = str(ws[0].dtype) == 'int8'  # quantized serving (resselt_tpu.quant)
+    pairs = [p.conv_weight_int8(f'conv{i}.0') for i in range(1, 6)]
+    gc = pairs[0][0].shape[0]
+    # int8 serving (resselt_tpu.quant): the producer regroup concatenates
+    # the five weights, so the int8 path needs ALL of them quantized —
+    # per-OUT-channel scales then slice/concat along the same axis as the
+    # regroup.  A partially-quantized RDB (possible when gc and nf straddle
+    # the eligibility bound) dequantizes the int8 members at trace time
+    # (exact math) instead of mixing dtypes in the concat.
+    int8 = all(s is not None for _, s in pairs)
     if int8:
-        # per-OUT-channel int8 scales slice/concat along the same axis as
-        # the producer regroup, so the decomposition composes with PTQ
-        scales = [p[f'conv{i}.0.weight_scale'] for i in range(1, 6)]
+        ws = [w for w, _ in pairs]
+        scales = [s for _, s in pairs]
+    else:
+        ws = [w if s is None else
+              (w.astype(jnp.float32) * s[:, None, None, None]).astype(x.dtype)
+              for w, s in pairs]
 
     def producer_w(j):  # stage j: j==0 consumes x, j>=1 consumes f_j
         lo = 0 if j == 0 else nf + (j - 1) * gc
@@ -167,9 +176,9 @@ def _rdb(p: PTree, x, plus: bool):
     for j in range(1, 5):
         f = F.leaky_relu(a[..., :gc], 0.2)
         if plus and j == 2:
-            w11 = p['conv1x1.weight']
-            if str(w11.dtype) == 'int8':
-                f = f + F.conv2d_int8(x, w11, p['conv1x1.weight_scale'])
+            w11, s11 = p.conv_weight_int8('conv1x1')
+            if s11 is not None:
+                f = f + F.conv2d_int8(x, w11, s11)
             else:
                 f = f + F.conv2d(x, w11)
             f2 = f

@@ -154,10 +154,28 @@ class SRModel:
         """Opt-in int8 serving copy (resselt_tpu.quant): eligible conv
         weights become per-channel int8 (+ dynamic activation quant at
         apply time, ~2x MXU rate).  Explicitly lossy — quality cost per
-        family in bench_int8.md; raises if nothing is eligible."""
+        family in bench_int8.md; raises if nothing is eligible.
+
+        Eligibility = shape (plain conv, cin/cout >= 32) AND consumption:
+        a zero-cost ``eval_shape`` discovery trace records which weights
+        flow exclusively through int8-aware ops (``PTree.conv`` with
+        groups=1, esrgan's producer RDB); weights consumed by transposed
+        convs, grouped convs, or raw ``F.conv2d`` calls stay float."""
+        from ..nn import params as _params_mod
         from ..quant import quantize_params
 
-        q, n = quantize_params({k: np.asarray(v) for k, v in self.params.items()})
+        rec = {'safe': set(), 'raw': set()}
+        probe = jax.ShapeDtypeStruct((1, 64, 64, self.metadata.in_channels), jnp.float32)
+        _params_mod._INT8_DISCOVERY = rec
+        try:
+            jax.eval_shape(functools.partial(self._apply_fn, self.config), self.params, probe)
+        finally:
+            _params_mod._INT8_DISCOVERY = None
+
+        q, n = quantize_params(
+            {k: np.asarray(v) for k, v in self.params.items()},
+            allowed=rec['safe'] - rec['raw'],
+        )
         if n == 0:
             raise ValueError(f'{self.arch_id}: no int8-eligible conv weights')
         clone = SRModel(self.arch_id, self.config, q, self.metadata, self._apply_fn)

@@ -133,6 +133,11 @@ def conv2d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
 
 def conv_transpose2d(x, w, b=None, stride=1, padding=0, output_padding=0, groups=1):
     """Torch ConvTranspose2d. ``w`` layout: (in, out/groups, kH, kW)."""
+    if w.dtype == jnp.int8:
+        raise TypeError(
+            'int8 weight reached F.conv_transpose2d — transposed convs have '
+            'no int8 path and are excluded by quantize_int8 discovery'
+        )
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     oph, opw = _pair(output_padding)

@@ -18,7 +18,10 @@ Use only for custom models with wide (>=128ch) plain-conv bodies:
 Scheme: per-output-channel symmetric int8 weights, dynamic per-tensor
 activation quant, int32 accumulate, f32 rescale.  Eligibility: plain
 (groups == 1) convs with cin >= 32 and cout >= 32 — head/tail and
-depthwise/grouped convs stay in full precision.
+depthwise/grouped convs stay in full precision — AND consumption through
+an int8-aware op, proven by ``SRModel.quantize_int8``'s eval_shape
+discovery trace (``nn.params._INT8_DISCOVERY``): weights reaching
+transposed convs or raw ``F.conv2d`` calls stay float.
 """
 
 from __future__ import annotations
@@ -54,18 +57,25 @@ def quantize_weight(arr: np.ndarray):
     return q, s.astype(np.float32)
 
 
-def quantize_params(params: Mapping[str, np.ndarray], min_ch: int = MIN_CH):
+def quantize_params(params: Mapping[str, np.ndarray], min_ch: int = MIN_CH,
+                    allowed: set | None = None):
     """Return (new param dict, #convs quantized).
 
     Every eligible ``<name>.weight`` becomes int8 with a sibling
     ``<name>.weight_scale``; everything else is passed through.  The nn
     layer dispatches on the weight dtype (``PTree.conv`` ->
-    ``F.conv2d_int8``)."""
+    ``F.conv2d_int8``).
+
+    ``allowed``: keys proven int8-safe by consumption discovery
+    (``SRModel.quantize_int8`` traces apply and records which weights flow
+    through an int8-aware op); shape eligibility alone would also quantize
+    weights consumed by transposed convs or raw ``F.conv2d`` calls, which
+    have no int8 path."""
     out = {}
     n = 0
     for k, v in params.items():
         arr = np.asarray(v)
-        if eligible(k, arr, min_ch):
+        if (allowed is None or k in allowed) and eligible(k, arr, min_ch):
             q, s = quantize_weight(arr)
             out[k] = q
             out[k + '_scale'] = s

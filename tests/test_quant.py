@@ -63,6 +63,70 @@ def test_quantized_model_forward(family):
     assert not np.allclose(q, fp)  # it really took the int8 path
 
 
+def _quantize_and_check(model, size=(1, 24, 28, 3), rel_bound=0.2):
+    """quantize_int8 contract: either ValueError (nothing eligible) or a
+    model whose forward runs and stays close to fp — never a crash, never
+    silent garbage."""
+    try:
+        qm = model.quantize_int8()
+    except ValueError:
+        return None
+    x = np.random.default_rng(3).random(size, dtype=np.float32)
+    fp = np.asarray(model(x))
+    q = np.asarray(qm(x))
+    assert q.shape == fp.shape
+    rel = np.abs(q - fp).max() / max(np.abs(fp).max(), 1e-6)
+    assert rel < rel_bound, rel
+    return qm
+
+
+def test_quantize_discovery_excludes_transposed_convs():
+    """CUGAN's UNets consume eligible-SHAPED weights via F.conv_transpose2d,
+    which has no int8 path; consumption discovery must leave them float
+    (previously: silently consumed int8 codes as values -> garbage)."""
+    from tests.torch_ref import init_random, state_dict_to_numpy
+    from resselt.archs.cugan.arch import UpCunet2x
+
+    sd = state_dict_to_numpy(init_random(UpCunet2x(), 7).eval().state_dict())
+    model = resselt_tpu.load_from_state_dict(sd)
+    qm = _quantize_and_check(model, size=(1, 21, 27, 3))
+    assert qm is not None  # interior plain convs ARE eligible
+    for k, v in qm.params.items():
+        if str(v.dtype) == 'int8':
+            assert '.conv_bottom.' not in k and 'up' not in k.split('.')[-2], k
+
+
+def test_quantize_discovery_excludes_raw_conv2d_consumers():
+    """Omni consumes qkv weights via raw F.conv2d (no int8 dispatch);
+    discovery must exclude them (previously: TypeError at forward)."""
+    from tests.torch_ref import init_random, state_dict_to_numpy
+    from resselt.archs.omni.arch import OmniSR
+
+    ref = init_random(OmniSR(num_feat=64, block_num=1, pe=True, window_size=8,
+                             res_num=1, up_scale=4), 9).eval()
+    model = resselt_tpu.load_from_state_dict(state_dict_to_numpy(ref.state_dict()))
+    _quantize_and_check(model, size=(1, 24, 24, 3))
+
+
+def test_quantized_mixed_rdb_dequantizes_gracefully():
+    """gc=16 ESRGAN: only conv5 of each RDB is shape-eligible; the producer
+    decomposition needs uniform dtype, so the int8 member is dequantized at
+    trace time instead of crashing (exact-math fallback)."""
+    sd = zoo.make_esrgan(num_blocks=2, gc=16)
+    model = resselt_tpu.load_from_state_dict(sd)
+    qm = _quantize_and_check(model, size=(1, 20, 22, 3))
+    assert qm is not None
+    assert any(str(v.dtype) == 'int8' and k.endswith('conv5.0.weight')
+               for k, v in qm.params.items())
+
+
+def test_conv_transpose2d_rejects_int8_weight():
+    w8 = jnp.zeros((64, 64, 2, 2), jnp.int8)
+    x = jnp.zeros((1, 8, 8, 64), jnp.float32)
+    with pytest.raises(TypeError):
+        F.conv_transpose2d(x, w8, stride=2)
+
+
 def test_quantize_rejects_ineligible_model():
     sd = zoo.make_gater()  # depthwise/grouped U-net: little eligible
     model = resselt_tpu.load_from_state_dict(sd)

@@ -262,14 +262,16 @@ def main(argv=None) -> int:
         bs = f'{base:.3f}' if base else '-'
         b16 = f'{mps_bf16:.2f}' if mps_bf16 else '-'
         # useful TFLOP/s from the best measured rate and the per-tile XLA
-        # cost analysis; MFU vs the 64-TFLOP padded-MXU peak.  For tiled
-        # rows this slightly understates FLOP/s (halo recompute is not
+        # cost analysis; MFU vs the 197-TFLOP v5e bf16 spec peak (the
+        # round-3 peak correction rescinded the old 64-TFLOP figure; chip
+        # delivers 164.5 measured, tools/peak_conv.py).  For tiled rows
+        # this slightly understates FLOP/s (halo recompute is not
         # counted), which is the honest direction for a utilization column.
         flops_per_out_mp = tile_flops / ((c['tile'] * c['scale']) ** 2 / 1e6)
         tflops = (mps_bf16 or mps) * flops_per_out_mp / 1e12
         lines.append(
             f'| {name} | {size} | {c["batch"]} | {mps:.2f} | {b16} | '
-            f'{tflops:.1f} | {100 * tflops / 64.0:.1f} | {bs} | **{sp}** |'
+            f'{tflops:.1f} | {100 * tflops / 197.0:.1f} | {bs} | **{sp}** |'
         )
     out = '\n'.join(lines) + '\n'
     if not args.only:  # partial runs must not clobber the full table
