@@ -152,8 +152,14 @@ def main(argv=None) -> int:
         logger.info('checkpointed final train state -> %s', args.checkpoint)
 
     out_params = ema_params(state) if args.ema > 0 else state.params
-    final_psnr = float(psnr(apply_jit(out_params, eval_lr), eval_hr))
-    logger.info('final eval PSNR %.2f dB (was %.2f)%s', final_psnr, base_psnr,
+    final_out = apply_jit(out_params, eval_lr)
+    final_psnr = float(psnr(final_out, eval_hr))
+    from resselt_tpu.metrics import ssim
+
+    final_ssim = ssim(np.clip(np.asarray(final_out, np.float32), 0, 1),
+                      np.asarray(eval_hr, np.float32))
+    logger.info('final eval PSNR %.2f dB / SSIM %.4f (was %.2f dB)%s',
+                final_psnr, final_ssim, base_psnr,
                 ' [EMA weights]' if args.ema > 0 else '')
 
     if args.save:
