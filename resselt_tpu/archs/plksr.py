@@ -94,10 +94,10 @@ def _plk_block(p: PTree, x, cfg: PLKSRConfig):
     x_skip = x
     if cfg.variant == 'plksr':
         mixer = p.sub('channe_mixer')  # reference typo (plksr.py:326 class)
-        k0 = mixer['0.weight'].shape[-1]
+        k0 = mixer.shape('0.weight')[-1]
         x = mixer.conv('0', x, padding=k0 // 2)
         x = F.gelu(x)
-        k2 = mixer['2.weight'].shape[-1]
+        k2 = mixer.shape('2.weight')[-1]
         x = mixer.conv('2', x, padding=k2 // 2)
     else:
         mixer = p.sub('channel_mixer')

@@ -58,6 +58,12 @@ class PTree:
     def __contains__(self, key: str) -> bool:
         return (self._prefix + str(key)) in self._d
 
+    def shape(self, key: str):
+        """Shape-only read: does NOT count as consumption for int8
+        discovery (trace-time geometry reads would otherwise taint conv
+        weights that are actually consumed via ``conv``)."""
+        return self._d[self._prefix + str(key)].shape
+
     def keys(self):
         n = len(self._prefix)
         return [k[n:] for k in self._d.keys() if k.startswith(self._prefix)]
