@@ -87,6 +87,9 @@ def main(argv=None) -> int:
     parser.add_argument('input', help='input image or directory')
     parser.add_argument('output', help='output image or directory')
     parser.add_argument('--tile', type=int, default=0, help='tile size for tiled inference (0 = whole image)')
+    parser.add_argument('--scale', type=int, default=None,
+                        help='pick a scale on an arbitrary-scale checkpoint (SpanPP '
+                             'IGConv trains one tail per scale; default = base scale)')
     parser.add_argument('--halo', type=int, default=16, help='tile halo/overlap')
     parser.add_argument('--bucket', action='store_true',
                         help='pad inputs to tile multiples so mixed-size batches share one '
@@ -136,6 +139,14 @@ def main(argv=None) -> int:
         model.arch_id, meta.name, meta.upscale, meta.in_channels, meta.out_channels,
         type(model.config).__name__, time.perf_counter() - t0,
     )
+    if args.scale is not None:
+        scales = meta.upscale if isinstance(meta.upscale, (list, tuple)) else [meta.upscale]
+        if args.scale not in scales:
+            logger.error('model %s supports scale(s) %s, not %d', meta.name, list(scales), args.scale)
+            return 1
+        if hasattr(model.config, 'eval_scale'):
+            model = model.with_config(eval_scale=args.scale)
+            logger.info('arbitrary-scale checkpoint: running the %dx tail', args.scale)
     if args.int8:
         model = model.quantize_int8()
         logger.info('int8-quantized eligible conv weights (lossy serving mode)')

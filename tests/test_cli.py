@@ -76,6 +76,40 @@ def test_cli_batch_and_convert(tmp_path):
     assert sorted(os.listdir(dst)) == ['0.png', '1.png', '2.png']
 
 
+def test_cli_arbitrary_scale_flag(tmp_path):
+    """--scale picks a tail on an arbitrary-scale (SpanPP IGConv) checkpoint
+    and rejects scales outside the checkpoint's list."""
+    from tests.torch_ref import init_random, state_dict_to_numpy
+    from resselt.archs.spanpp.arch import SpanPP
+
+    ref = init_random(
+        SpanPP(num_in_ch=3, feature_channels=16, scale_list=(1, 2, 3, 4),
+               eval_base_scale=2, ig_kernel_size=3, implicit_dim=32, latent_layers=2), 5
+    ).eval()
+    model = resselt_tpu.load_from_state_dict(state_dict_to_numpy(ref.state_dict()))
+    save_model(model, str(tmp_path / 's.npz'))
+    _save_png(str(tmp_path / 'in.png'),
+              (np.random.default_rng(6).random((12, 14, 3)) * 255).astype('uint8'))
+
+    from PIL import Image
+
+    for s in (2, 3):
+        out = str(tmp_path / f'out{s}.png')
+        assert upscale_main([str(tmp_path / 's.npz'), str(tmp_path / 'in.png'), out,
+                             '--scale', str(s)]) == 0
+        assert Image.open(out).size == (14 * s, 12 * s)
+    assert upscale_main([str(tmp_path / 's.npz'), str(tmp_path / 'in.png'),
+                         str(tmp_path / 'bad.png'), '--scale', '8']) == 1
+
+    # fixed-scale model: --scale matching its scale is a no-op, others error
+    cm = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
+    save_model(cm, str(tmp_path / 'c.npz'))
+    assert upscale_main([str(tmp_path / 'c.npz'), str(tmp_path / 'in.png'),
+                         str(tmp_path / 'ok.png'), '--scale', '2']) == 0
+    assert upscale_main([str(tmp_path / 'c.npz'), str(tmp_path / 'in.png'),
+                         str(tmp_path / 'bad2.png'), '--scale', '3']) == 1
+
+
 def test_safetensors_writer_roundtrip(tmp_path):
     """write_safetensors output must be readable by our reader, by the
     official safetensors library, and re-detectable end-to-end."""
