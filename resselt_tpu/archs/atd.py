@@ -303,9 +303,10 @@ def _load(sd) -> SRModel:
     params = {k: v for k, v in sd.items() if k != 'no_norm'}
     meta = ModelMetadata(in_channels=in_chans, out_channels=in_chans, upscale=upscale, name='ATD')
     model = SRModel('ATD', cfg, params, meta, apply)
-    # measured on v5e (BENCHMARKS.md): ATD tile throughput peaks at small
-    # per-dispatch batches (bs=2: 3.46 MP/s vs bs=8: 2.79 at 224px tiles)
-    model.tile_batch = 2
+    # measured on v5e (sweep_tiled.json, FHD t192): f32 tile rows are
+    # gather-bandwidth-bound and peak at batch 1 (4.84 vs 4.02 MP/s at
+    # b2); bf16 peaks at batch 2 (6.63 vs 5.92 at b1)
+    model.tile_batch = {'f32': 1, 'bf16': 2}
     return model
 
 

@@ -296,7 +296,12 @@ def _load(sd) -> SRModel:
     )
     params = {k: v for k, v in sd.items() if '.attn_mask_' not in k}
     meta = ModelMetadata(in_channels=in_chans, out_channels=in_chans, upscale=upscale, name='DAT')
-    return SRModel('dat', cfg, params, meta, apply)
+    model = SRModel('dat', cfg, params, meta, apply)
+    # measured on v5e (sweep_tiled.json, 720p t128): f32 peaks at batch 4
+    # (2.55 vs 2.30 at b8); bf16 peaks at batch 8 (3.44), where the stacked
+    # window count crosses the fused-attention gate (ops/window_attention)
+    model.tile_batch = {'f32': 4, 'bf16': 8}
+    return model
 
 
 ARCH = Architecture(

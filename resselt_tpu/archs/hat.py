@@ -296,7 +296,13 @@ def _load(sd) -> SRModel:
         resi_connection=resi_connection, num_feat=num_feat, img_size=img_size,
     )
     meta = ModelMetadata(in_channels=in_chans, out_channels=in_chans, upscale=upscale, name='HAT')
-    return SRModel('HAT', cfg, dict(sd), meta, apply)
+    model = SRModel('HAT', cfg, dict(sd), meta, apply)
+    # measured on v5e (sweep_tiled.json, 720p joint tile×batch sweep):
+    # HAT tiles lose to VMEM pressure above batch 2 at both 128 and 192px
+    # (t192: b2 2.80/4.85 vs b4 2.52/3.99 f32/bf16 MP/s); serving tile 192
+    # beats 128 at this batch (the round-2 "tiles>128 worse" note was b8)
+    model.tile_batch = 2
+    return model
 
 
 ARCH = Architecture(

@@ -104,8 +104,10 @@ class SRModel:
         self.metadata = metadata
         # loader-set hint for the tiled driver's per-dispatch tile batch:
         # conv models gain from batch 8 (MXU saturation), some transformers
-        # lose to VMEM pressure and prefer 1-2 (BENCHMARKS.md)
-        self.tile_batch: int | None = None
+        # lose to VMEM pressure and prefer 1-2 (BENCHMARKS.md).  An int, or
+        # a {'f32': n, 'bf16': m} dict when the optimum is dtype-dependent
+        # (parallel/tiling.py resolves it against the serving dtype).
+        self.tile_batch: int | dict | None = None
         self._apply_fn = apply_fn
 
         # kernel-dispatch flags (e.g. nn.window.use_fused_attention) are

@@ -255,8 +255,16 @@ def upscale_tiled(
         # 8 balances conv models (ESRGAN: B=8 is +27% vs B=1) against
         # transformers (B>1 loses to VMEM pressure, see BENCHMARKS.md) and
         # bounds activation memory on huge tile grids; loaders can override
-        # per-arch via SRModel.tile_batch (e.g. ATD prefers 2)
-        batch_size = min(n, getattr(model, 'tile_batch', None) or 8)
+        # per-arch via SRModel.tile_batch — an int, or a {'f32': n,
+        # 'bf16': m} dict when the sweet spot is dtype-dependent (ATD:
+        # f32 tile rows are gather-bandwidth-bound and prefer smaller
+        # batches than bf16, tools/sweep_tiled.py)
+        tb = getattr(model, 'tile_batch', None)
+        if isinstance(tb, dict):
+            eff = dtype if dtype is not None else image.dtype
+            group = 'bf16' if eff in (jnp.bfloat16, jnp.float16) else 'f32'
+            tb = tb.get(group) or tb.get('f32')
+        batch_size = min(n, tb or 8)
     if mesh is not None:
         dev = mesh.devices.size
         batch_size = max(dev, batch_size - batch_size % dev)

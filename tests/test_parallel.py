@@ -91,6 +91,25 @@ def test_tiled_matches_whole_image():
     assert err < 1e-4, f'seam error {err}'
 
 
+def test_tiled_dtype_aware_tile_batch():
+    """SRModel.tile_batch may be a {'f32': n, 'bf16': m} dict; the driver
+    resolves it against the serving dtype and output is batch-invariant."""
+    import jax.numpy as jnp
+
+    model = _compact_model()
+    model.tile_batch = {'f32': 1, 'bf16': 4}
+    img = np.random.default_rng(7).random((70, 90, 3), dtype=np.float32)
+
+    ref = np.asarray(upscale_tiled(model, img, tile=32, halo=8, batch_size=2))
+    got_f32 = np.asarray(upscale_tiled(model, img, tile=32, halo=8))
+    assert np.abs(got_f32 - ref).max() < 1e-5
+    got_bf16 = np.asarray(upscale_tiled(model, img, tile=32, halo=8, dtype=jnp.bfloat16))
+    assert got_bf16.shape == ref.shape
+    # the jitted-fn cache key carries the resolved batch per dtype
+    batches = {str(k[2]): k[1] for k in model._tiled_fn_cache}
+    assert batches['float32'] == 1 and batches['bfloat16'] == 4
+
+
 def test_tiled_narrow_strip():
     # one dim smaller than 2*halo: window must shrink below the short dim
     # instead of crashing in dynamic_slice (ADVICE r1)

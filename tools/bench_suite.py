@@ -82,7 +82,9 @@ def _torch_models(quick: bool):
                 window_size=16, compress_ratio=24, squeeze_factor=24, mlp_ratio=2.0,
                 upsampler='pixelshuffle', upscale=4,
             ),
-            scale=4, tile=128, batch=1, tiled_input=(480, 640) if quick else (720, 1280),
+            # tile 192 + the loader's tile_batch 2 beat 128/b8 by 32-44%
+            # (joint sweep, sweep_tiled.json)
+            scale=4, tile=192, batch=1, tiled_input=(480, 640) if quick else (720, 1280),
         ),
         'dat-s 4x tiled-HD': dict(
             model=lambda: DAT(
@@ -233,6 +235,10 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         mps_bf16 = None
         if 'tiled_input' in c:
+            # tiled rows run at the loader's tile_batch (dtype-resolved in
+            # parallel/tiling.py); surface it in the batch column
+            tb = getattr(model, 'tile_batch', None) or 8
+            c['batch'] = f"{tb.get('f32', 8)}/{tb.get('bf16', 8)}" if isinstance(tb, dict) else tb
             mps = measure_tpu_tiled(model, c['tiled_input'], c['tile'], c['scale'])
             import jax.numpy as jnp
 
