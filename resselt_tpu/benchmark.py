@@ -1,0 +1,67 @@
+"""Calibrated on-device forward-throughput measurement.
+
+The one honest methodology on this backend (CLAUDE.md): a
+dependency-chained on-device ``fori_loop`` with a *dynamic* (traced)
+iteration bound — one compile per config — timed twice so the fixed
+dispatch+sync latency cancels, and synced through a scalar readback
+(``jax.block_until_ready`` does not reliably synchronize through the
+remote TPU tunnel).  Shared by ``tools/bench_families.py``,
+``tools/tune_serving.py`` and friends so the methodology lives in one
+place.  (``tools/bench_train.py`` measures a *train step* — a different
+loop body — with the same two-run calibration idiom.)
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+
+def measure_forward(model, tile: int, batch: int, dtype=None, iters: int = 3,
+                    min_seconds: float = 2.0, halo: int = 0):
+    """Measure one model forward; returns ``(useful_mps, sec_per_forward, scale)``.
+
+    With ``halo > 0`` the forward runs at the window size the tiled driver
+    actually compiles — ``(tile + 2*halo)``-square inputs — but only the
+    ``tile * scale`` core output pixels the driver keeps are credited, so
+    the number ranks configs for ``upscale_tiled(tile=..., halo=...)``
+    honestly (per-tile rates at the bare tile size do not: the halo is
+    ~27% extra area at tile 128).  ``halo=0`` measures the bare forward.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    win = tile + 2 * halo
+    in_ch = model.metadata.in_channels
+    x = jnp.asarray(np.random.default_rng(0).random((batch, win, win, in_ch), dtype=np.float32))
+    if dtype is not None:
+        x = x.astype(dtype)
+    apply_fn = functools.partial(model._apply_fn, model.config)
+    out_shape = jax.eval_shape(apply_fn, model.params, x)
+    scale = out_shape.shape[1] // win
+
+    @jax.jit
+    def loop(p, x0, n):
+        def body(_, carry):
+            y = apply_fn(p, carry)
+            return carry + jnp.asarray(1e-6, carry.dtype) * y[:, :win, :win, :in_ch]
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x0).astype(jnp.float32))
+
+    float(loop(model.params, x, jnp.int32(iters)))  # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        float(loop(model.params, x, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    dt1 = run(iters)
+    if dt1 >= 4 * min_seconds:  # slow config: dispatch latency negligible
+        per_iter = dt1 / iters
+    else:
+        n2 = iters + max(iters, int(iters * min_seconds / max(dt1, 1e-3)) + 1)
+        dt2 = run(n2)
+        per_iter = max(dt2 - dt1, 1e-6) / (n2 - iters)
+    mps = (tile * scale) ** 2 * batch / 1e6 / per_iter
+    return mps, per_iter, scale

@@ -143,7 +143,15 @@ class SRModel:
         import dataclasses
 
         cfg = dataclasses.replace(self.config, **overrides)
-        clone = SRModel(self.arch_id, cfg, {}, self.metadata, self._apply_fn)
+        meta = self.metadata
+        if 'eval_scale' in overrides:
+            # eval_scale picks the effective output scale on an arbitrary-
+            # scale checkpoint; narrow metadata.upscale (which may be the
+            # full scale list) so downstream geometry users — the tiled /
+            # padded drivers size output buffers from it — see the int
+            # actually produced.
+            meta = dataclasses.replace(meta, upscale=int(overrides['eval_scale']))
+        clone = SRModel(self.arch_id, cfg, {}, meta, self._apply_fn)
         clone.params = self.params
         clone.tile_batch = self.tile_batch
         return clone

@@ -101,6 +101,14 @@ def test_cli_arbitrary_scale_flag(tmp_path):
     assert upscale_main([str(tmp_path / 's.npz'), str(tmp_path / 'in.png'),
                          str(tmp_path / 'bad.png'), '--scale', '8']) == 1
 
+    # --scale combined with the tiled driver: with_config(eval_scale=...)
+    # must narrow metadata.upscale to the chosen int or the tiled/padded
+    # drivers reject the scale list (regression: crashed before r3 fix)
+    out = str(tmp_path / 'out3t.png')
+    assert upscale_main([str(tmp_path / 's.npz'), str(tmp_path / 'in.png'), out,
+                         '--scale', '3', '--tile', '8', '--halo', '4']) == 0
+    assert Image.open(out).size == (14 * 3, 12 * 3)
+
     # fixed-scale model: --scale matching its scale is a no-op, others error
     cm = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
     save_model(cm, str(tmp_path / 'c.npz'))

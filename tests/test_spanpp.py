@@ -29,6 +29,29 @@ def test_spanpp():
     assert err < TOL, f'spanpp: max err {err}'
 
 
+def test_spanpp_scale_override_narrows_metadata_for_tiled():
+    """with_config(eval_scale=s) must narrow metadata.upscale from the
+    checkpoint's scale list to the int actually produced, so the tiled /
+    padded drivers (which require an integer upscale) accept the model —
+    the CLI's --scale combined with --tile crashed before this."""
+    from resselt.archs.spanpp.arch import SpanPP
+
+    from resselt_tpu.parallel import upscale_tiled
+
+    ref = init_random(
+        SpanPP(num_in_ch=3, feature_channels=16, scale_list=(1, 2, 3, 4),
+               eval_base_scale=2, ig_kernel_size=3, implicit_dim=32, latent_layers=2), 121
+    ).eval()
+    model = resselt_tpu.load_from_state_dict(state_dict_to_numpy(ref.state_dict()))
+    m3 = model.with_config(eval_scale=3)
+    assert m3.metadata.upscale == 3
+    x = np.random.default_rng(5).random((20, 24, 3), dtype=np.float32)
+    full = np.asarray(m3(x))
+    tiled = np.asarray(upscale_tiled(m3, x, tile=16, halo=4))
+    assert tiled.shape == full.shape == (60, 72, 3)
+    assert max_err(tiled, full) < TOL
+
+
 @pytest.mark.parametrize('scale', [1, 3, 4])
 def test_spanpp_arbitrary_scale(scale):
     """with_config(eval_scale=s) runs any scale in the checkpoint's list,

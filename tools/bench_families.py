@@ -137,45 +137,7 @@ def _configs():
     }
 
 
-def measure(model, tile: int, batch: int, dtype=None, iters: int = 3,
-            min_seconds: float = 2.0):
-    """Returns (out_mps, sec_per_forward, out_scale)."""
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    x = jnp.asarray(np.random.default_rng(0).random((batch, tile, tile, 3), dtype=np.float32))
-    if dtype is not None:
-        x = x.astype(dtype)
-    apply_fn = functools.partial(model._apply_fn, model.config)
-    out_shape = jax.eval_shape(apply_fn, model.params, x)
-    scale = out_shape.shape[1] // tile
-
-    @jax.jit
-    def loop(p, x0, n):
-        def body(_, carry):
-            y = apply_fn(p, carry)
-            return carry + jnp.asarray(1e-6, carry.dtype) * y[:, :tile, :tile, :3]
-
-        return jnp.sum(jax.lax.fori_loop(0, n, body, x0).astype(jnp.float32))
-
-    float(loop(model.params, x, jnp.int32(iters)))  # compile + warm
-
-    def run(n):
-        t0 = time.perf_counter()
-        float(loop(model.params, x, jnp.int32(n)))
-        return time.perf_counter() - t0
-
-    dt1 = run(iters)
-    if dt1 >= 4 * min_seconds:  # slow config: dispatch latency negligible
-        per_iter = dt1 / iters
-    else:
-        n2 = iters + max(iters, int(iters * min_seconds / max(dt1, 1e-3)) + 1)
-        dt2 = run(n2)
-        per_iter = max(dt2 - dt1, 1e-6) / (n2 - iters)
-    mps = (tile * scale) ** 2 * batch / 1e6 / per_iter
-    return mps, per_iter, scale
+from resselt_tpu.benchmark import measure_forward as measure  # noqa: E402
 
 
 def render(state: dict, order) -> str:

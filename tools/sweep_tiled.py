@@ -27,7 +27,8 @@ OUT = os.path.join(REPO, 'sweep_tiled.json')
 
 import bench_suite as bs  # noqa: E402  (shared configs + measurement)
 
-ROW = {'hat': 'hat-s 4x tiled-HD', 'dat': 'dat-s 4x tiled-HD', 'atd': 'atd-light 4x tiled-FHD'}
+ROW = {'hat': 'hat-s 4x tiled-HD', 'dat': 'dat-s 4x tiled-HD', 'atd': 'atd-light 4x tiled-FHD',
+       'swinir': 'swinir-m 4x'}
 GRID = {
     # (tile, batch) cells per arch; the r2 dead end says HAT tiles>128 were
     # "slightly worse" at the default b8 — re-probe 192 at b2/b4 anyway
@@ -35,7 +36,13 @@ GRID = {
     'hat': [(128, 2), (128, 4), (128, 8), (128, 16), (192, 2), (192, 4)],
     'dat': [(128, 4), (128, 8), (128, 16), (192, 4), (192, 8)],
     'atd': [(192, 1), (192, 2), (192, 4), (192, 8), (256, 1), (256, 2), (256, 4), (128, 4), (128, 8)],
+    # swinir serves tile 128 b1 on the standalone-forward evidence only
+    # (probe_swinir_batch: batch scaling negative, and the fori_loop
+    # methodology breaks at >=192^2 so larger tiles were never timed);
+    # the end-to-end driver sidesteps the loop pathology entirely.
+    'swinir': [(128, 1), (128, 2), (160, 1), (160, 2), (192, 1)],
 }
+HW = {'swinir': (720, 1280)}  # rows without a tiled_input in bench_suite
 
 
 def main(argv=None) -> int:
@@ -56,7 +63,7 @@ def main(argv=None) -> int:
     cfgs = bs._torch_models(args.quick)
     for arch in args.arch.split(','):
         c = cfgs[ROW[arch]]
-        hw = c['tiled_input']
+        hw = c.get('tiled_input') or HW[arch]
         model = None
         for tile, batch in GRID[arch]:
             for dname, dt in (('f32', None), ('bf16', jnp.bfloat16)):
