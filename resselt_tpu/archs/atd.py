@@ -307,6 +307,7 @@ def _load(sd) -> SRModel:
     # gather-bandwidth-bound and peak at batch 1 (4.84 vs 4.02 MP/s at
     # b2); bf16 peaks at batch 2 (6.63 vs 5.92 at b1)
     model.tile_batch = {'f32': 1, 'bf16': 2}
+    model.serving_tile = 192
     return model
 
 

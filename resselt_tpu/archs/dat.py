@@ -301,6 +301,7 @@ def _load(sd) -> SRModel:
     # (2.55 vs 2.30 at b8); bf16 peaks at batch 8 (3.44), where the stacked
     # window count crosses the fused-attention gate (ops/window_attention)
     model.tile_batch = {'f32': 4, 'bf16': 8}
+    model.serving_tile = 128
     return model
 
 

@@ -302,6 +302,7 @@ def _load(sd) -> SRModel:
     # (t192: b2 2.80/4.85 vs b4 2.52/3.99 f32/bf16 MP/s); serving tile 192
     # beats 128 at this batch (the round-2 "tiles>128 worse" note was b8)
     model.tile_batch = 2
+    model.serving_tile = 192
     return model
 
 

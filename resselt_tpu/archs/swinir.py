@@ -199,7 +199,14 @@ def _load(sd) -> SRModel:
     )
     params = {k: v for k, v in sd.items() if not k.endswith('.attn_mask')}
     meta = ModelMetadata(in_channels=in_nc, out_channels=num_out_ch, upscale=upscale, name='SwinIR')
-    return SRModel('SwinIR', cfg, params, meta, apply)
+    model = SRModel('SwinIR', cfg, params, meta, apply)
+    # measured on v5e: batch scaling is NEGATIVE (probe_swinir_batch: b1
+    # 12.7 / b4 11.6 / b8 8.3 MP/s bf16 at 128^2 — VMEM pressure) and the
+    # end-to-end tiled sweep confirms t128 b1 over t160/t192 and b2
+    # (sweep_tiled.json swinir rows)
+    model.tile_batch = 1
+    model.serving_tile = 128
+    return model
 
 
 ARCH = Architecture(

@@ -108,6 +108,10 @@ class SRModel:
         # a {'f32': n, 'bf16': m} dict when the optimum is dtype-dependent
         # (parallel/tiling.py resolves it against the serving dtype).
         self.tile_batch: int | dict | None = None
+        # loader-set hint for the tiled driver's tile size: transformers
+        # measure fastest well below the conv default of 256 (end-to-end
+        # sweep in sweep_tiled.json).  None = use the driver default.
+        self.serving_tile: int | None = None
         self._apply_fn = apply_fn
 
         # kernel-dispatch flags (e.g. nn.window.use_fused_attention) are
@@ -154,6 +158,7 @@ class SRModel:
         clone = SRModel(self.arch_id, cfg, {}, meta, self._apply_fn)
         clone.params = self.params
         clone.tile_batch = self.tile_batch
+        clone.serving_tile = self.serving_tile
         return clone
 
     def apply(self, params, x: jax.Array) -> jax.Array:
@@ -190,6 +195,7 @@ class SRModel:
             raise ValueError(f'{self.arch_id}: no int8-eligible conv weights')
         clone = SRModel(self.arch_id, self.config, q, self.metadata, self._apply_fn)
         clone.tile_batch = self.tile_batch
+        clone.serving_tile = self.serving_tile
         return clone
 
     def cost(self, height: int, width: int, batch: int = 1) -> dict:

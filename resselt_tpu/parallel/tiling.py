@@ -188,7 +188,7 @@ def upscale_padded(
 def upscale_tiled(
     model,
     image,
-    tile: int = 256,
+    tile: int | None = None,
     halo: int = 16,
     batch_size: int | None = None,
     mesh: 'jax.sharding.Mesh | None' = None,
@@ -199,6 +199,9 @@ def upscale_tiled(
     bucket: bool = False,
 ):
     """Run an SRModel over a large image via overlap tiling.
+
+    ``tile=None`` (default) uses the loader's measured per-arch sweet spot
+    (``SRModel.serving_tile``, e.g. transformers 128-192) or 256.
 
     ``image``: (H, W, C) in [0, 1].  When ``mesh`` is given, each tile batch
     is sharded over the mesh's first axis (data parallel over tiles).
@@ -218,6 +221,10 @@ def upscale_tiled(
     ``upscale_padded``'s shape bucketing.  Interior output is unchanged;
     pixels within the model's receptive field of the pad seam can differ
     slightly from the model's own border handling."""
+    if tile is None:
+        # per-arch measured sweet spot (loader-set, sweep_tiled.json);
+        # conv-model default 256
+        tile = getattr(model, 'serving_tile', None) or 256
     image = jnp.asarray(image)
     if image.ndim != 3:
         raise ValueError('upscale_tiled expects an HWC image')

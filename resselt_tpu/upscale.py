@@ -86,7 +86,9 @@ def main(argv=None) -> int:
     parser.add_argument('model', help='checkpoint file (.pth/.pt/.ckpt/.safetensors) or .npz cache')
     parser.add_argument('input', help='input image or directory')
     parser.add_argument('output', help='output image or directory')
-    parser.add_argument('--tile', type=int, default=0, help='tile size for tiled inference (0 = whole image)')
+    parser.add_argument('--tile', default='0',
+                        help="tile size for tiled inference (0 = whole image; 'auto' = the "
+                             "arch's measured sweet spot, e.g. transformers 128-192)")
     parser.add_argument('--scale', type=int, default=None,
                         help='pick a scale on an arbitrary-scale checkpoint (SpanPP '
                              'IGConv trains one tail per scale; default = base scale)')
@@ -150,6 +152,17 @@ def main(argv=None) -> int:
     if args.int8:
         model = model.quantize_int8()
         logger.info('int8-quantized eligible conv weights (lossy serving mode)')
+
+    if args.tile == 'auto':
+        args.tile = model.serving_tile or 256
+        logger.info('tile auto -> %d (%s)', args.tile,
+                    'arch sweet spot' if model.serving_tile else 'default')
+    else:
+        try:
+            args.tile = int(args.tile)
+        except ValueError:
+            logger.error("--tile must be an integer or 'auto', got %r", args.tile)
+            return 1
 
     if os.path.isdir(args.input):
         names = sorted(n for n in os.listdir(args.input) if n.lower().endswith(IMAGE_EXTS))

@@ -118,6 +118,24 @@ def test_cli_arbitrary_scale_flag(tmp_path):
                          str(tmp_path / 'bad2.png'), '--scale', '3']) == 1
 
 
+def test_cli_tile_auto(tmp_path):
+    """--tile auto resolves to the arch's serving_tile hint (compact has
+    none -> 256, so a small image runs whole); bad values error cleanly."""
+    from PIL import Image
+
+    rng = np.random.default_rng(8)
+    model = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
+    save_model(model, str(tmp_path / 'm.npz'))
+    _save_png(str(tmp_path / 'in.png'), (rng.random((20, 24, 3)) * 255).astype('uint8'))
+
+    out = str(tmp_path / 'o.png')
+    assert upscale_main([str(tmp_path / 'm.npz'), str(tmp_path / 'in.png'), out,
+                         '--tile', 'auto']) == 0
+    assert Image.open(out).size == (48, 40)
+    assert upscale_main([str(tmp_path / 'm.npz'), str(tmp_path / 'in.png'),
+                         str(tmp_path / 'bad.png'), '--tile', 'huge']) == 1
+
+
 def test_safetensors_writer_roundtrip(tmp_path):
     """write_safetensors output must be readable by our reader, by the
     official safetensors library, and re-detectable end-to-end."""

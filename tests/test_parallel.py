@@ -91,6 +91,22 @@ def test_tiled_matches_whole_image():
     assert err < 1e-4, f'seam error {err}'
 
 
+def test_tiled_serving_tile_hint():
+    """tile=None resolves to the loader's SRModel.serving_tile hint (or
+    256); an explicit tile always wins."""
+    model = _compact_model()
+    img = np.random.default_rng(9).random((70, 90, 3), dtype=np.float32)
+
+    model.serving_tile = 32
+    hinted = np.asarray(upscale_tiled(model, img, halo=8))
+    explicit = np.asarray(upscale_tiled(model, img, tile=32, halo=8))
+    assert np.abs(hinted - explicit).max() < 1e-6
+    assert len(model._tiled_fn_cache) == 1  # both calls shared one compiled grid
+
+    # hint survives with_config clones
+    assert model.with_config().serving_tile == 32
+
+
 def test_tiled_dtype_aware_tile_batch():
     """SRModel.tile_batch may be a {'f32': n, 'bf16': m} dict; the driver
     resolves it against the serving dtype and output is batch-invariant."""
