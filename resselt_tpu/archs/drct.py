@@ -124,7 +124,13 @@ def _load(sd) -> SRModel:
     )
     params = {k: v for k, v in sd.items() if not k.endswith('.attn_mask')}
     meta = ModelMetadata(in_channels=in_chans, out_channels=in_chans, upscale=upscale, name='DRCT')
-    return SRModel('DRCT', cfg, params, meta, apply)
+    model = SRModel('DRCT', cfg, params, meta, apply)
+    # measured on v5e (sweep_tiled.json drct rows, 720p end-to-end):
+    # t128 b1 wins both dtypes (4.43 f32 / 6.80 bf16 MP/s); t160/t192
+    # and b2 all lose
+    model.tile_batch = 1
+    model.serving_tile = 128
+    return model
 
 
 ARCH = Architecture(

@@ -181,7 +181,14 @@ def _load(sd) -> SRModel:
     )
     params = {k: v for k, v in sd.items() if k != 'upsampler.MetaUpsample'}
     meta = ModelMetadata(in_channels=num_in_ch, out_channels=num_out_ch, upscale=scale, name='FDAT')
-    return SRModel('FDAT', cfg, params, meta, apply)
+    model = SRModel('FDAT', cfg, params, meta, apply)
+    # measured on v5e (sweep_tiled.json fdat rows + standalone re-runs,
+    # 720p): bf16 ties ~11.3 MP/s across t128/160/192 at b2; f32 is best
+    # at t128 (tunnel-noisy cells re-measured twice).  t128 b2 is the
+    # safe joint pick.
+    model.tile_batch = 2
+    model.serving_tile = 128
+    return model
 
 
 ARCH = Architecture(

@@ -229,7 +229,14 @@ def _load(sd) -> SRModel:
     )
     params = {k: v for k, v in sd.items() if '.attn_mask_' not in k}
     meta = ModelMetadata(in_channels=in_chans, out_channels=in_chans, upscale=upscale, name='RGT')
-    return SRModel('RGT', cfg, params, meta, apply)
+    model = SRModel('RGT', cfg, params, meta, apply)
+    # measured on v5e (sweep_tiled.json rgt rows + standalone re-runs,
+    # 720p): t128 wins f32 in both runs; bf16 cells are tunnel-noisy
+    # (2.2-3.8 MP/s across runs) but never favor larger tiles.  Batch:
+    # f32 peaks at 4, bf16 at 2 (sweep run).
+    model.tile_batch = {'f32': 4, 'bf16': 2}
+    model.serving_tile = 128
+    return model
 
 
 ARCH = Architecture(

@@ -36,6 +36,10 @@ def save_model(model: SRModel, path: str) -> None:
             'upscale': model.metadata.upscale,
             'name': model.metadata.name,
         },
+        # loader-set serving hints (measured per-arch sweet spots) must
+        # survive the cache round-trip — the cache path exists FOR serving
+        'tile_batch': model.tile_batch,
+        'serving_tile': model.serving_tile,
     }
     arrays = {k: np.asarray(v) for k, v in model.params.items()}
     np.savez(path, __header__=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8), **arrays)
@@ -74,4 +78,7 @@ def load_model(path: str) -> SRModel:
     params = {k: data[k] for k in data.files if k != '__header__'}
     meta = ModelMetadata(**header['metadata'])
     apply_fn = module.apply
-    return SRModel(header['arch_id'], cfg, params, meta, apply_fn)
+    model = SRModel(header['arch_id'], cfg, params, meta, apply_fn)
+    model.tile_batch = header.get('tile_batch')
+    model.serving_tile = header.get('serving_tile')
+    return model

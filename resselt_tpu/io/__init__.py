@@ -10,8 +10,6 @@ import os
 import zipfile
 from typing import Any, Mapping
 
-import numpy as np
-
 from .safetensors_io import read_safetensors, write_safetensors
 from .torch_pickle import UnsafeCheckpointError, read_torch_checkpoint, read_torchscript_state_dict
 
@@ -63,11 +61,3 @@ def load_state_dict_from_file(path: str) -> Mapping[str, Any]:
         return read_safetensors(path)
     raise ValueError(f'Unsupported model file extension {extension}. Please try a supported model type.')
 
-
-def to_float32(value: np.ndarray) -> np.ndarray:
-    """Upcast half/bfloat16 checkpoint tensors to f32 for compute."""
-    if value.dtype.kind == 'f' and value.dtype.itemsize < 4:
-        return value.astype(np.float32)
-    if value.dtype.kind == 'V' or value.dtype.name == 'bfloat16':
-        return value.astype(np.float32)
-    return value

@@ -66,13 +66,35 @@ class _StorageType:
 
 
 class _Storage:
-    """A (possibly not-yet-filled) flat storage buffer."""
+    """A (possibly not-yet-filled) flat storage buffer.
 
-    __slots__ = ('data', 'dtype')
+    May be a *view* of another storage (legacy-format persistent ids carry
+    ``view_metadata = (view_key, offset, numel)``; torch's ``_legacy_load``
+    materializes them as ``root[offset:offset+numel]``)."""
 
-    def __init__(self, dtype: np.dtype, data: np.ndarray | None = None):
+    __slots__ = ('data', 'dtype', 'base', 'base_offset', 'base_numel')
+
+    def __init__(self, dtype: np.dtype, data: np.ndarray | None = None,
+                 base: '_Storage | None' = None, base_offset: int = 0, base_numel: int = 0):
         self.dtype = dtype
         self.data = data
+        self.base = base
+        self.base_offset = base_offset
+        self.base_numel = base_numel
+
+    def resolve(self) -> np.ndarray | None:
+        """Flat buffer, or None if the backing data has not been read yet."""
+        if self.base is None:
+            return self.data
+        buf = self.base.resolve()
+        if buf is None:
+            return None
+        if self.base_offset + self.base_numel > buf.size:
+            raise UnsafeCheckpointError(
+                f'Storage view [{self.base_offset}:{self.base_offset + self.base_numel}] '
+                f'outside base storage of {buf.size} elements'
+            )
+        return buf[self.base_offset: self.base_offset + self.base_numel]
 
 
 class _LazyTensor:
@@ -87,7 +109,7 @@ class _LazyTensor:
         self.stride = tuple(stride)
 
     def materialize(self) -> np.ndarray:
-        buf = self.storage.data
+        buf = self.storage.resolve()
         if buf is None:
             raise ValueError('Storage data never deserialized')
         dtype = self.storage.dtype
@@ -118,7 +140,7 @@ class _LazyTensor:
 
 def _rebuild_tensor_v2(storage, storage_offset, size, stride, requires_grad=False, backward_hooks=None, metadata=None):
     lazy = _LazyTensor(storage, storage_offset, size, stride)
-    return lazy if storage.data is None else lazy.materialize()
+    return lazy if storage.resolve() is None else lazy.materialize()
 
 
 def _rebuild_tensor(storage, storage_offset, size, stride):
@@ -200,6 +222,7 @@ class _Unpickler(pickle.Unpickler):
         super().__init__(file, encoding='latin1')
         self._load_storage = load_storage
         self._allow_script = allow_script
+        self._views: dict[str, _Storage] = {}
 
     def find_class(self, module: str, name: str):
         if (module, name) in _SAFE_GLOBALS:
@@ -222,7 +245,25 @@ class _Unpickler(pickle.Unpickler):
             raise UnsafeCheckpointError(f'Unsupported storage type: {storage_type!r}')
         if self._load_storage is None:
             raise UnsafeCheckpointError('Unexpected persistent id in metadata pickle')
-        return self._load_storage(str(key), storage_type.dtype, int(numel))
+        root = self._load_storage(str(key), storage_type.dtype, int(numel))
+        view = pid[5] if len(pid) == 6 else None
+        if view is None:
+            return root
+        # legacy-format storage view: torch's _legacy_load materializes it
+        # as root[offset:offset+numel] (shared/tied weights in pre-1.6
+        # checkpoints); ignoring it would silently read the wrong region
+        if not (isinstance(view, tuple) and len(view) == 3):
+            raise UnsafeCheckpointError(f'Unsupported view metadata: {view!r}')
+        view_key, offset, view_numel = view
+        vk = str(view_key)
+        if vk not in self._views:
+            offset, view_numel = int(offset), int(view_numel)
+            if offset < 0 or view_numel < 0:
+                raise UnsafeCheckpointError(
+                    f'Storage view with negative offset/numel: {view!r}')
+            self._views[vk] = _Storage(storage_type.dtype, base=root,
+                                       base_offset=offset, base_numel=view_numel)
+        return self._views[vk]
 
 
 def _materialize(obj):
@@ -303,10 +344,21 @@ def read_torchscript_state_dict(path: str) -> dict[str, np.ndarray]:
                 'state; use the torch runtime to load it'
             )
         for k, v in attrs.items():
-            if isinstance(v, (_LazyTensor, np.ndarray)):
-                out[pfx + k] = v
-            elif isinstance(v, _ScriptObject):
-                walk(v, f'{pfx}{k}.')
+            _visit(v, pfx + k)
+
+    def _visit(v, name: str):
+        if isinstance(v, (_LazyTensor, np.ndarray)):
+            out[name] = v
+        elif isinstance(v, _ScriptObject):
+            walk(v, name + '.')
+        elif isinstance(v, (list, tuple)):
+            # containers of tensors/submodules (e.g. build_tensorlist
+            # results) use state-dict-style numeric suffixes
+            for i, item in enumerate(v):
+                _visit(item, f'{name}.{i}')
+        elif isinstance(v, dict):
+            for dk, item in v.items():
+                _visit(item, f'{name}.{dk}')
 
     if not isinstance(root, _ScriptObject):
         raise ValueError('TorchScript archive does not contain a script module')

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 logger = logging.getLogger('resselt_tpu.tiling')
@@ -33,8 +34,8 @@ _TILED_FN_CACHE_MAX = 8
 class TileGrid:
     height: int
     width: int
-    window: int  # full tile window (core + 2*halo)
-    halo: int
+    window: tuple[int, int]  # full tile window per axis (core + 2*halo)
+    halo: tuple[int, int]
     ys: tuple[int, ...]  # window origins (top)
     xs: tuple[int, ...]  # window origins (left)
 
@@ -47,25 +48,28 @@ def _origins(size: int, window: int, stride: int) -> tuple[int, ...]:
     return tuple(xs)
 
 
-def plan_grid(height: int, width: int, tile: int, halo: int) -> TileGrid:
-    window = tile + 2 * halo
-    stride = tile
+def plan_grid(height: int, width: int, tile, halo) -> TileGrid:
+    """``tile``/``halo``: int (square windows) or per-axis ``(y, x)`` pairs
+    (rectangular windows, e.g. for strip images whose short dimension is
+    smaller than the configured window)."""
+    ty, tx = (tile, tile) if isinstance(tile, int) else tile
+    oy, ox = (halo, halo) if isinstance(halo, int) else halo
     return TileGrid(
         height=height,
         width=width,
-        window=window,
-        halo=halo,
-        ys=_origins(height, window, stride),
-        xs=_origins(width, window, stride),
+        window=(ty + 2 * oy, tx + 2 * ox),
+        halo=(oy, ox),
+        ys=_origins(height, ty + 2 * oy, ty),
+        xs=_origins(width, tx + 2 * ox, tx),
     )
 
 
 def extract_tiles(image, grid: TileGrid):
-    """(H, W, C) -> (len(ys)*len(xs), window, window, C)."""
-    win = grid.window
+    """(H, W, C) -> (len(ys)*len(xs), window_y, window_x, C)."""
+    wy, wx = grid.window
     c = image.shape[-1]
     tiles = [
-        jax.lax.dynamic_slice(image, (y, x, 0), (win, win, c))
+        jax.lax.dynamic_slice(image, (y, x, 0), (wy, wx, c))
         for y in grid.ys
         for x in grid.xs
     ]
@@ -77,7 +81,7 @@ def stitch_tiles(out_tiles, grid: TileGrid, scale: int):
 
     Each window contributes its halo-cropped core, except at image borders
     where the window is flush with the border and contributes up to it."""
-    win, o = grid.window, grid.halo
+    (wy, wx), (oy, ox) = grid.window, grid.halo
     h, w = grid.height * scale, grid.width * scale
     c = out_tiles.shape[-1]
     canvas = jnp.zeros((h, w, c), out_tiles.dtype)
@@ -86,10 +90,10 @@ def stitch_tiles(out_tiles, grid: TileGrid, scale: int):
         for x in grid.xs:
             t = out_tiles[i]
             i += 1
-            y0 = 0 if y == 0 else (y + o) * scale
-            y1 = h if y + win >= grid.height else (y + win - o) * scale
-            x0 = 0 if x == 0 else (x + o) * scale
-            x1 = w if x + win >= grid.width else (x + win - o) * scale
+            y0 = 0 if y == 0 else (y + oy) * scale
+            y1 = h if y + wy >= grid.height else (y + wy - oy) * scale
+            x0 = 0 if x == 0 else (x + ox) * scale
+            x1 = w if x + wx >= grid.width else (x + wx - ox) * scale
             ty0 = y0 - y * scale
             tx0 = x0 - x * scale
             piece = jax.lax.dynamic_slice(t, (ty0, tx0, 0), (y1 - y0, x1 - x0, c))
@@ -109,7 +113,7 @@ def _make_fused_tiled_fn(model, grid: TileGrid, scale: int, batch_size: int,
     grid at batch 2 drops from ~23 dispatches to 1."""
     apply_fn = model._apply_fn
     config = model.config
-    win = grid.window
+    wy, wx = grid.window
     n = len(grid.ys) * len(grid.xs)
     pad_n = -n % batch_size
     nb = (n + pad_n) // batch_size
@@ -121,7 +125,7 @@ def _make_fused_tiled_fn(model, grid: TileGrid, scale: int, batch_size: int,
         tiles = extract_tiles(image, grid)
         if pad_n:
             tiles = jnp.concatenate([tiles, jnp.tile(tiles[-1:], (pad_n, 1, 1, 1))])
-        batches = tiles.reshape(nb, batch_size, win, win, tiles.shape[-1])
+        batches = tiles.reshape(nb, batch_size, wy, wx, tiles.shape[-1])
 
         def body(_, chunk):
             if mesh is not None:
@@ -137,7 +141,7 @@ def _make_fused_tiled_fn(model, grid: TileGrid, scale: int, batch_size: int,
             outs = body(None, batches[0])[1][None]
         else:
             _, outs = jax.lax.scan(body, None, batches, unroll=unroll)
-        out_tiles = outs.reshape(nb * batch_size, win * scale, win * scale, -1)[:n]
+        out_tiles = outs.reshape(nb * batch_size, wy * scale, wx * scale, -1)[:n]
         return stitch_tiles(out_tiles, grid, scale)
 
     return jax.jit(fn)
@@ -246,16 +250,20 @@ def upscale_tiled(
     window = tile + 2 * halo
     if h <= window and w <= window:
         return model(image, dtype=dtype, precision=precision)
-    if h < window or w < window:
-        # one dimension smaller than a window: single strip, no tiling there.
-        # Shrink the halo too when the short dim is tiny, else the window
-        # would still exceed it (dynamic_slice requires window <= dim).
-        short = min(h, w)
-        halo = min(halo, max(0, (short - 1) // 2))
-        tile = max(1, short - 2 * halo)
-        window = tile + 2 * halo
+    # A dimension smaller than a window becomes a single strip: shrink the
+    # window (and, for tiny dims, the halo — dynamic_slice requires
+    # window <= dim) along THAT axis only; the long axis keeps the
+    # configured tile so strips don't degenerate into many tiny squares.
+    ty = tx = tile
+    oy = ox = halo
+    if h < window:
+        oy = min(halo, max(0, (h - 1) // 2))
+        ty = max(1, h - 2 * oy)
+    if w < window:
+        ox = min(halo, max(0, (w - 1) // 2))
+        tx = max(1, w - 2 * ox)
 
-    grid = plan_grid(h, w, tile, halo)
+    grid = plan_grid(h, w, (ty, tx), (oy, ox))
     n = len(grid.ys) * len(grid.xs)
 
     if batch_size is None:
@@ -268,12 +276,17 @@ def upscale_tiled(
         # batches than bf16, tools/sweep_tiled.py)
         tb = getattr(model, 'tile_batch', None)
         if isinstance(tb, dict):
-            eff = dtype if dtype is not None else image.dtype
-            group = 'bf16' if eff in (jnp.bfloat16, jnp.float16) else 'f32'
+            # normalize so strings ('bfloat16') and np/jnp dtypes compare
+            # equal to the type objects
+            eff = np.dtype(dtype if dtype is not None else image.dtype)
+            group = 'bf16' if eff in (np.dtype(jnp.bfloat16), np.dtype(jnp.float16)) else 'f32'
             tb = tb.get(group) or tb.get('f32')
         batch_size = min(n, tb or 8)
     if mesh is not None:
-        dev = mesh.devices.size
+        # tiles are sharded over the FIRST mesh axis only (see the
+        # PartitionSpec in _make_fused_tiled_fn / the host loop); round the
+        # batch to that axis's size, not the total device count
+        dev = mesh.shape[mesh.axis_names[0]]
         batch_size = max(dev, batch_size - batch_size % dev)
     batch_size = min(batch_size, n) if mesh is None else batch_size
 

@@ -35,6 +35,63 @@ def test_read_zip_and_legacy(tmp_path):
             )
 
 
+def test_read_legacy_storage_views(tmp_path):
+    """Legacy persistent ids may carry view_metadata = (key, offset, numel);
+    torch's _legacy_load materializes the view as root[offset:offset+numel]
+    (torch/serialization.py legacy path).  Ignoring it silently reads the
+    wrong storage region (regression: confirmed corruption)."""
+    import pickle
+    import struct
+
+    class _Stor:
+        def __init__(self, pid):
+            self.pid = pid
+
+    class _T:
+        def __init__(self, stor, numel):
+            self.stor, self.numel = stor, numel
+
+        def __reduce__(self):
+            return (torch._utils._rebuild_tensor_v2,
+                    (self.stor, 0, (self.numel,), (1,), False, None))
+
+    class _P(pickle.Pickler):
+        def persistent_id(self, obj):
+            return obj.pid if isinstance(obj, _Stor) else None
+
+    root_pid = ('storage', torch.FloatStorage, 'root', 'cpu', 8)
+    view_pid = ('storage', torch.FloatStorage, 'root', 'cpu', 8, ('v0', 4, 4))
+    obj = {'full': _T(_Stor(root_pid), 8),
+           'tail': _T(_Stor(view_pid), 4),
+           'tail2': _T(_Stor(view_pid), 4)}  # same view key: shared storage
+    p = tmp_path / 'views.pth'
+    with open(p, 'wb') as f:
+        for meta in (0x1950A86A20F9469CFC6C, 1001, {'little_endian': True}):
+            pickle.dump(meta, f, protocol=2)
+        _P(f, protocol=2).dump(obj)
+        pickle.dump(['root'], f, protocol=2)
+        f.write(struct.pack('<q', 8))
+        f.write(np.arange(8, dtype=np.float32).tobytes())
+
+    out = read_torch_checkpoint(str(p))
+    np.testing.assert_array_equal(out['full'], np.arange(8, dtype=np.float32))
+    np.testing.assert_array_equal(out['tail'], np.asarray([4, 5, 6, 7], np.float32))
+    np.testing.assert_array_equal(out['tail2'], out['tail'])
+
+    # out-of-bounds view must raise, not read adjacent memory
+    bad_pid = ('storage', torch.FloatStorage, 'root', 'cpu', 8, ('v1', 6, 4))
+    p2 = tmp_path / 'bad_view.pth'
+    with open(p2, 'wb') as f:
+        for meta in (0x1950A86A20F9469CFC6C, 1001, {'little_endian': True}):
+            pickle.dump(meta, f, protocol=2)
+        _P(f, protocol=2).dump({'x': _T(_Stor(bad_pid), 4)})
+        pickle.dump(['root'], f, protocol=2)
+        f.write(struct.pack('<q', 8))
+        f.write(np.arange(8, dtype=np.float32).tobytes())
+    with pytest.raises(UnsafeCheckpointError):
+        read_torch_checkpoint(str(p2))
+
+
 def test_safetensors_roundtrip(tmp_path):
     import safetensors.torch
 
@@ -109,6 +166,30 @@ def test_in_bounds_view_accepted(tmp_path):
     _evil_view_checkpoint(str(p), 1, (3,), (1,), numel=4)
     out = read_torch_checkpoint(str(p))
     assert out['w'].shape == (3,)
+
+
+def test_cache_preserves_serving_hints(tmp_path):
+    """save_model/load_model must round-trip the loader-set serving hints
+    (tile_batch, serving_tile) — the .npz cache path exists for production
+    serving, where dropping them costs measured throughput (e.g. SwinIR
+    falls back to tile 256 / batch 8, 38% slower f32)."""
+    import resselt_tpu
+    from resselt_tpu.cache import load_model, save_model
+    from resselt_tpu.zoo import make_atd, make_compact
+
+    atd = resselt_tpu.load_from_state_dict(make_atd())
+    assert atd.tile_batch == {'f32': 1, 'bf16': 2} and atd.serving_tile == 192
+    p = tmp_path / 'atd.npz'
+    save_model(atd, str(p))
+    back = load_model(str(p))
+    assert back.tile_batch == atd.tile_batch
+    assert back.serving_tile == atd.serving_tile
+
+    # arch with no hints stays hint-free
+    comp = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
+    save_model(comp, str(tmp_path / 'c.npz'))
+    back = load_model(str(tmp_path / 'c.npz'))
+    assert back.tile_batch is None and back.serving_tile is None
 
 
 def test_cache_rejects_foreign_module(tmp_path):
@@ -235,6 +316,39 @@ def test_torchscript_pt_roundtrip(tmp_path):
     torch.save(m.state_dict(), str(p2))
     sd2 = load_state_dict_from_file(str(p2))
     np.testing.assert_allclose(sd2['conv.weight'], m.conv.weight.detach().numpy())
+
+
+def test_torchscript_container_attributes(tmp_path):
+    """Tensors nested in List/Dict attributes must not be silently dropped
+    from the extracted state dict (regression: walk() only collected
+    direct tensor attributes)."""
+    import torch
+    from typing import Dict, List
+
+    class WithContainers(torch.nn.Module):
+        tensors: List[torch.Tensor]
+        table: Dict[str, torch.Tensor]
+
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(3, 4, 3)
+            self.tensors = [torch.arange(3, dtype=torch.float32), torch.ones(2)]
+            self.table = {'gamma': torch.full((2,), 5.0)}
+
+        def forward(self, x):
+            return self.conv(x) + self.tensors[0].sum() + self.table['gamma'].sum()
+
+    m = WithContainers().eval()
+    p = tmp_path / 'containers.pt'
+    torch.jit.save(torch.jit.script(m), str(p))
+
+    from resselt_tpu.io.torch_pickle import read_torchscript_state_dict
+
+    sd = read_torchscript_state_dict(str(p))
+    np.testing.assert_allclose(sd['conv.weight'], m.conv.weight.detach().numpy())
+    np.testing.assert_array_equal(sd['tensors.0'], np.asarray([0, 1, 2], np.float32))
+    np.testing.assert_array_equal(sd['tensors.1'], np.ones(2, np.float32))
+    np.testing.assert_array_equal(sd['table.gamma'], np.full((2,), 5.0, np.float32))
 
 
 def test_detection_fuzz_no_false_positives():

@@ -136,6 +136,16 @@ def test_tiled_narrow_strip():
     assert tiled.shape == whole.shape
     assert np.abs(tiled - whole).max() < 1e-4
 
+    # the long axis must KEEP the configured tile (rectangular windows),
+    # not degenerate into many tiny squares sized by the short dim
+    from resselt_tpu.parallel import plan_grid
+
+    keys = list(model._tiled_fn_cache)
+    grid = keys[-1][0]
+    assert len(grid.ys) == 1 and grid.window[0] == 20  # single y strip
+    assert grid.window[1] == 96 and len(grid.xs) == 5  # x keeps tile 64
+    assert grid == plan_grid(20, 300, (2, 64), (9, 16))
+
 
 def test_tiled_on_device_matches_host_loop():
     # the fused single-dispatch path (extract -> scan over batches -> stitch)

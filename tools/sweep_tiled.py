@@ -29,6 +29,8 @@ import bench_suite as bs  # noqa: E402  (shared configs + measurement)
 
 ROW = {'hat': 'hat-s 4x tiled-HD', 'dat': 'dat-s 4x tiled-HD', 'atd': 'atd-light 4x tiled-FHD',
        'swinir': 'swinir-m 4x'}
+# remaining transformer families: constructors live in bench_families
+FAMILY_ROW = {'drct': 'drct-l 4x', 'rgt': 'rgt 2x', 'fdat': 'fdat-m 4x'}
 GRID = {
     # (tile, batch) cells per arch; the r2 dead end says HAT tiles>128 were
     # "slightly worse" at the default b8 — re-probe 192 at b2/b4 anyway
@@ -41,8 +43,12 @@ GRID = {
     # methodology breaks at >=192^2 so larger tiles were never timed);
     # the end-to-end driver sidesteps the loop pathology entirely.
     'swinir': [(128, 1), (128, 2), (160, 1), (160, 2), (192, 1)],
+    'drct': [(128, 1), (128, 2), (160, 1), (160, 2), (192, 1)],
+    'rgt': [(128, 2), (128, 4), (160, 2), (160, 4), (192, 2)],
+    'fdat': [(128, 2), (128, 4), (160, 2), (160, 4), (192, 2)],
 }
-HW = {'swinir': (720, 1280)}  # rows without a tiled_input in bench_suite
+HW = {'swinir': (720, 1280), 'drct': (720, 1280), 'rgt': (720, 1280),
+      'fdat': (720, 1280)}  # rows without a tiled_input in bench_suite
 
 
 def main(argv=None) -> int:
@@ -62,8 +68,15 @@ def main(argv=None) -> int:
 
     cfgs = bs._torch_models(args.quick)
     for arch in args.arch.split(','):
-        c = cfgs[ROW[arch]]
-        hw = c.get('tiled_input') or HW[arch]
+        if arch in ROW:
+            c = cfgs[ROW[arch]]
+            ctor, scale = c['model'], c['scale']
+            hw = c.get('tiled_input') or HW[arch]
+        else:
+            import bench_families as bf
+
+            ctor, _, _ = bf._configs()[FAMILY_ROW[arch]]
+            scale, hw = None, HW[arch]
         model = None
         for tile, batch in GRID[arch]:
             for dname, dt in (('f32', None), ('bf16', jnp.bfloat16)):
@@ -71,9 +84,10 @@ def main(argv=None) -> int:
                 if key in done:
                     continue
                 if model is None:
-                    model = resselt_tpu.load_from_state_dict(bs._sd_numpy(c['model']().eval()))
+                    model = resselt_tpu.load_from_state_dict(bs._sd_numpy(ctor().eval()))
+                    scale = scale or model.metadata.upscale
                 try:
-                    mps = bs.measure_tpu_tiled(model, hw, tile, c['scale'], batch_size=batch, dtype=dt)
+                    mps = bs.measure_tpu_tiled(model, hw, tile, scale, batch_size=batch, dtype=dt)
                 except Exception as e:
                     done[key] = f'FAIL {type(e).__name__}: {str(e)[:100]}'
                     bs.log(key, '->', done[key])
