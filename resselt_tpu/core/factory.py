@@ -67,13 +67,13 @@ def _dispatch_flags() -> tuple:
             fused_molrcm_enabled(), mm_dft_enabled(), block_diag_groups_enabled())
 
 
-def _to_jax_params(params: Mapping[str, np.ndarray], keep_dtypes: bool = False):
+def _to_jax_params(params: Mapping[str, np.ndarray]):
     out = {}
     for k, v in params.items():
         arr = np.asarray(v)
-        if not keep_dtypes and arr.dtype.kind == 'f' and arr.dtype.itemsize != 4:
+        if arr.dtype.kind == 'f' and arr.dtype.itemsize != 4:
             arr = arr.astype(np.float32)
-        elif not keep_dtypes and arr.dtype.name == 'bfloat16':
+        elif arr.dtype.name == 'bfloat16':
             arr = arr.astype(np.float32)
         out[k] = jnp.asarray(arr)
     return out

@@ -159,16 +159,26 @@ class Prefetcher:
 
     def _run(self):
         while not self._stop.is_set():
-            item = self.sampler.next_batch(self.batch)
+            try:
+                item = self.sampler.next_batch(self.batch)
+            except BaseException as e:  # propagate to the consumer, never hang
+                item = e
             while not self._stop.is_set():
                 try:
                     self._q.put(item, timeout=0.1)
                     break
                 except queue.Full:
                     continue
+            if isinstance(item, BaseException):
+                return
 
     def next(self):
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            # producer died: surface the real error instead of blocking
+            # forever on an empty queue
+            raise item
+        return item
 
     def close(self):
         self._stop.set()

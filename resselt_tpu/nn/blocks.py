@@ -81,8 +81,9 @@ def conv_block(p: PTree, x, conv_name: str = 'conv', *, kernel_size: int | None 
     act with the activation suppressed by ``resnet_block``'s second conv,
     exactly as the reference composes it."""
     assert mode in ('CNA', 'NAC', 'CNAC'), f'Wrong conv mode [{mode}]'
-    w = p[f'{conv_name}.weight']
-    k = int(kernel_size if kernel_size is not None else w.shape[-1])
+    # shape-only read: a full p[...] read would taint the weight for int8
+    # discovery (nn/params._INT8_DISCOVERY) and silently block quantization
+    k = int(kernel_size if kernel_size is not None else p.shape(f'{conv_name}.weight')[-1])
     padding = get_valid_padding(k, dilation)
 
     def conv(v):
@@ -123,7 +124,7 @@ def resnet_block(p: PTree, x, *, kernel_size: int = 3, stride: int = 1, dilation
     # their 4-D weights instead of assuming fixed indices
     convs = sorted(
         (int(k.split('.')[1]) for k in p.keys()
-         if k.startswith('res.') and k.endswith('.weight') and p[k].ndim == 4),
+         if k.startswith('res.') and k.endswith('.weight') and len(p.shape(k)) == 4),
     )
     norms = sorted(
         (int(k.split('.')[1]) for k in p.keys()

@@ -24,6 +24,14 @@ def _pair(v) -> tuple[int, int]:
     return (int(v), int(v))
 
 
+def _scale_pair(v) -> tuple[float, float]:
+    """scale_factor pair WITHOUT int truncation (0.5 must stay 0.5);
+    torch's output size is floor(in * scale)."""
+    if isinstance(v, (tuple, list)):
+        return (float(v[0]), float(v[1]))
+    return (float(v), float(v))
+
+
 # ---------------------------------------------------------------------------
 # Convolutions
 # ---------------------------------------------------------------------------
@@ -381,7 +389,7 @@ def interpolate_nearest(x, scale_factor=None, size=None):
     if size is not None:
         oh, ow = _pair(size)
     else:
-        sfh, sfw = _pair(scale_factor)
+        sfh, sfw = _scale_pair(scale_factor)
         oh, ow = int(h * sfh), int(w * sfw)
     if size is None and oh % h == 0 and ow % w == 0:
         return jnp.repeat(jnp.repeat(x, oh // h, axis=1), ow // w, axis=2)
@@ -407,7 +415,7 @@ def interpolate_bilinear(x, scale_factor=None, size=None, align_corners: bool = 
     if size is not None:
         oh, ow = _pair(size)
     else:
-        sfh, sfw = _pair(scale_factor)
+        sfh, sfw = _scale_pair(scale_factor)
         oh, ow = int(h * sfh), int(w * sfw)
     i0, i1, fh = _linear_weights(h, oh, align_corners)
     j0, j1, fw = _linear_weights(w, ow, align_corners)
@@ -451,7 +459,7 @@ def interpolate_bicubic(x, scale_factor=None, size=None, align_corners: bool = F
     if size is not None:
         oh, ow = _pair(size)
     else:
-        sfh, sfw = _pair(scale_factor)
+        sfh, sfw = _scale_pair(scale_factor)
         oh, ow = int(h * sfh), int(w * sfw)
     ih, wh = _cubic_weights(h, oh, align_corners)
     iw, ww = _cubic_weights(w, ow, align_corners)
@@ -492,6 +500,10 @@ def grid_sample_bilinear(x, grid, align_corners: bool = False, padding_mode: str
         fx = ((gx + 1) * w - 1) * 0.5
         fy = ((gy + 1) * h - 1) * 0.5
 
+    if padding_mode not in ('zeros', 'border'):
+        # torch also has 'reflection'; refuse rather than silently produce
+        # border-extended values for it
+        raise NotImplementedError(f'grid_sample padding_mode {padding_mode!r} not supported')
     if padding_mode == 'border':
         fx = jnp.clip(fx, 0, w - 1)
         fy = jnp.clip(fy, 0, h - 1)

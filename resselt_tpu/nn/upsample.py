@@ -190,6 +190,12 @@ def uni_upsample_v3(p: PTree, x, mode: str, scale: int, out_dim: int, mid_dim: i
     import math
 
     in_dim = x.shape[-1]
+    if scale == 1:
+        # reference builds a single conv for scale 1 REGARDLESS of mode
+        # (fdat/arch.py:304: `if scale == 1 or upsample == "conv"`), so a
+        # 1x checkpoint has only '0.weight'/'0.bias' even when MetaUpsample
+        # records dysample/lda/transpose+conv/pa_up
+        return p.conv('0', x, padding=1)
     if mode in SAMPLE_MODS and mode != 'dysample':
         return uni_upsample(p, x, mode, scale, out_dim, mid_dim, group)
     if mode == 'dysample':

@@ -159,6 +159,11 @@ def fused_conv3x3_pack2(x, w_oihw, b=None, act: str = 'linear', th: int = 16, in
     half the padded work of :func:`fused_conv3x3_act` (which pads C=64 up
     to 128 lanes).  Same kernel body and Mosaic access pattern — only the
     weight layout and the host-side (free) reshapes differ."""
+    if th % 8:
+        # a non-8-aligned tile height makes the HBM DMA start at row
+        # step*th, a non-8-aligned sublane offset — the documented
+        # hard-crash class (worker/tunnel outage), see CLAUDE.md bisection
+        raise ValueError(f'th must be a multiple of 8, got {th}')
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
@@ -223,6 +228,11 @@ def fused_conv3x3_act(x, w_oihw, b=None, act: str = 'linear', th: int = 16, inte
     ``x``: (H, W, C) or (N, H, W, C); ``w_oihw``: torch-layout (O, I, 3, 3).
     Channels are internally padded to 128 lanes; output matches
     ``F.conv2d(x, w, b, padding=1)`` + activation in f32."""
+    if th % 8:
+        # a non-8-aligned tile height makes the HBM DMA start at row
+        # step*th, a non-8-aligned sublane offset — the documented
+        # hard-crash class (worker/tunnel outage), see CLAUDE.md bisection
+        raise ValueError(f'th must be a multiple of 8, got {th}')
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
@@ -423,6 +433,13 @@ def fused_conv_lk(x, w_oihw, b=None, k: int = 17, act: str = 'linear', th: int =
 
     ``x``: (H, W, C) or (N, H, W, C); ``w_oihw``: (O, I, k, k).
     """
+    if th % 8:
+        # a non-8-aligned tile height makes the HBM DMA start at row
+        # step*th, a non-8-aligned sublane offset — the documented
+        # hard-crash class (worker/tunnel outage), see CLAUDE.md bisection
+        raise ValueError(f'th must be a multiple of 8, got {th}')
+    if act not in ('linear', 'lrelu'):
+        raise ValueError(f"fused_conv_lk supports act 'linear'/'lrelu', got {act!r}")
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]

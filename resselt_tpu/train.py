@@ -55,8 +55,10 @@ def make_lr_schedule(
             raise ValueError('cosine schedule needs total_steps > warmup_steps')
         sched = optax.cosine_decay_schedule(base_lr, total_steps - warmup_steps)
     elif kind == 'multistep':
+        # milestones are GLOBAL steps; join_schedules passes the inner
+        # schedule (step - warmup_steps), so shift the boundaries to match
         sched = optax.piecewise_constant_schedule(
-            base_lr, {int(m): gamma for m in milestones}
+            base_lr, {int(m) - warmup_steps: gamma for m in milestones}
         )
     else:
         raise ValueError(f'unknown schedule {kind!r}')
@@ -80,9 +82,20 @@ def make_optimizer(
     return optax.chain(*steps)
 
 
+_NON_TRAINABLE_SUFFIXES = ('running_mean', 'running_var', 'num_batches_tracked')
+
+
 def split_trainable(params):
-    """Split a state-dict pytree into (float trainables, static int buffers)."""
-    trainable = {k: v for k, v in params.items() if jnp.issubdtype(v.dtype, jnp.floating)}
+    """Split a state-dict pytree into (float trainables, static buffers).
+
+    BatchNorm running statistics are float but NOT trainable (torch
+    registers them as buffers): with adamw their gradients are zero yet
+    decoupled weight decay would still shrink them every step, corrupting
+    eval-mode normalization."""
+    trainable = {
+        k: v for k, v in params.items()
+        if jnp.issubdtype(v.dtype, jnp.floating) and not k.endswith(_NON_TRAINABLE_SUFFIXES)
+    }
     static = {k: v for k, v in params.items() if k not in trainable}
     return trainable, static
 

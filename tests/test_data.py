@@ -56,6 +56,22 @@ def test_prefetcher():
         p.close()
 
 
+def test_prefetcher_propagates_producer_errors():
+    """If the sampler raises, next() must raise the real error instead of
+    blocking forever on an empty queue (regression)."""
+
+    class Boom:
+        def next_batch(self, n):
+            raise RuntimeError('corrupt image')
+
+    p = Prefetcher(Boom(), batch=4)
+    try:
+        with pytest.raises(RuntimeError, match='corrupt image'):
+            p.next()
+    finally:
+        p.close()
+
+
 def test_sampler_validation():
     with pytest.raises(ValueError):
         CropSampler(_images(), crop=33, scale=2)

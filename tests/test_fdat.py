@@ -18,6 +18,11 @@ TOL = 1e-3
     ('dysample', 2, False),
     ('pixelshuffledirect', 2, True),
     ('conv', 1, False),
+    # scale 1 with a non-conv upsampler: reference builds a single conv
+    # regardless of mode (fdat/arch.py:304) — the checkpoint has only
+    # '0.weight' even though MetaUpsample records dysample/lda
+    ('dysample', 1, False),
+    ('lda', 1, False),
 ])
 def test_fdat(upsampler, scale, unshuffle):
     from resselt.archs.fdat.arch import FDAT

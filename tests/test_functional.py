@@ -153,6 +153,28 @@ def test_interpolate_bicubic(rng, align, size):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize('mode', ['nearest', 'bilinear', 'bicubic'])
+@pytest.mark.parametrize('sf', [0.5, 1.5])
+def test_interpolate_fractional_scale(rng, mode, sf):
+    """Fractional scale factors must not be int-truncated (regression:
+    scale_factor=0.5 produced a zero-height output)."""
+    x = rng.standard_normal((1, 6, 8, 3), dtype=np.float32)
+    want = nhwc(TF.interpolate(nchw(x), scale_factor=sf, mode=mode,
+                               **({} if mode == 'nearest' else {'align_corners': False})))
+    fn = {'nearest': F.interpolate_nearest, 'bilinear': F.interpolate_bilinear,
+          'bicubic': F.interpolate_bicubic}[mode]
+    got = fn(x, scale_factor=sf)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_grid_sample_unsupported_mode_raises(rng):
+    x = rng.standard_normal((1, 4, 4, 2), dtype=np.float32)
+    grid = np.zeros((1, 2, 2, 2), dtype=np.float32)
+    with pytest.raises(NotImplementedError):
+        F.grid_sample_bilinear(x, grid, padding_mode='reflection')
+
+
 @pytest.mark.parametrize('align,pad_mode', [(False, 'zeros'), (True, 'zeros'), (False, 'border'), (True, 'border')])
 def test_grid_sample(rng, align, pad_mode):
     x = rng.standard_normal((2, 8, 9, 4), dtype=np.float32)

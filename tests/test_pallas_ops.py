@@ -240,3 +240,23 @@ def test_fused_molrcm(shape, th):
     assert got.shape == want.shape
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=1.5e-3 * scale)
+
+
+def test_fused_conv_rejects_unaligned_th():
+    """th not a multiple of 8 makes the HBM DMA start at a non-8-aligned
+    sublane row — the documented TPU-worker hard-crash class; the entry
+    points must refuse it up front (on every backend)."""
+    import numpy as np
+    import pytest
+
+    from resselt_tpu.ops.fused_conv import fused_conv3x3_act, fused_conv3x3_pack2, fused_conv_lk
+
+    x = np.zeros((1, 16, 16, 16), np.float32)
+    w = np.zeros((16, 16, 3, 3), np.float32)
+    for fn in (fused_conv3x3_act, fused_conv3x3_pack2):
+        with pytest.raises(ValueError, match='multiple of 8'):
+            fn(x, w, th=12, interpret=True)
+    with pytest.raises(ValueError, match='multiple of 8'):
+        fused_conv_lk(x, np.zeros((16, 16, 17, 17), np.float32), k=17, th=12, interpret=True)
+    with pytest.raises(ValueError, match='linear'):
+        fused_conv_lk(x, np.zeros((16, 16, 17, 17), np.float32), k=17, act='silu', interpret=True)

@@ -37,10 +37,36 @@ def test_lr_schedules():
     assert float(s(0)) == pytest.approx(0.0)
     assert float(s(10)) == pytest.approx(1e-3)
 
+    # multistep milestones are GLOBAL steps even with warmup: the drop at
+    # milestone 20 must not slide to 20+warmup (regression)
+    s = make_lr_schedule(1e-3, 'multistep', milestones=(20,), gamma=0.5, warmup_steps=10)
+    assert float(s(15)) == pytest.approx(1e-3)
+    assert float(s(25)) == pytest.approx(5e-4)
+    assert float(s(5)) == pytest.approx(5e-4)  # linear warmup half-way
+
     with pytest.raises(ValueError):
         make_lr_schedule(1e-3, 'nope')
     with pytest.raises(ValueError):
         make_lr_schedule(1e-3, 'cosine', total_steps=0)
+
+
+def test_split_trainable_excludes_bn_buffers():
+    """BatchNorm running stats are float but not trainable — adamw's
+    decoupled weight decay must never shrink them (regression)."""
+    import jax.numpy as jnp
+
+    from resselt_tpu.train import split_trainable
+
+    params = {
+        'conv.weight': jnp.ones((4, 3, 3, 3)),
+        'bn.running_mean': jnp.ones((4,)),
+        'bn.running_var': jnp.ones((4,)),
+        'bn.num_batches_tracked': jnp.ones((), jnp.int32),
+        'bn.weight': jnp.ones((4,)),
+    }
+    trainable, static = split_trainable(params)
+    assert set(trainable) == {'conv.weight', 'bn.weight'}
+    assert set(static) == {'bn.running_mean', 'bn.running_var', 'bn.num_batches_tracked'}
 
 
 def test_ema_tracks_params():
