@@ -137,7 +137,10 @@ def apply(cfg: GateRV3Config, params, x):
     return out[:, : h0 * cfg.scale, : w0 * cfg.scale]
 
 
-_MARKERS = {'conv.0.weight': (conv3xc_collapse, 'eval_conv')}
+# keyed on the Conv3XC-unique '.sk.weight' (same prefix as 'conv.0.weight'
+# but never false-matches the pa_up upsampler's PA gate 'conv.0.weight',
+# which is a plain sequential conv, not a Conv3XC bundle)
+_MARKERS = {'sk.weight': (conv3xc_collapse, 'eval_conv')}
 
 
 def _load(sd) -> SRModel:

@@ -13,6 +13,8 @@ its loader handles it; for those checkpoints the real scale is recovered
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -154,12 +156,21 @@ def _load(sd) -> SRModel:
         dim, in_nc = sd['in_to_dim.weight'].shape[:2]
         pixel_unshuffle = False
     else:
-        dim, in_nc = sd['in_to_dim.1.weight'].shape[:2]
-        if in_nc % 16 == 0:
-            in_nc //= 16
+        dim, stem_cin = sd['in_to_dim.1.weight'].shape[:2]
+        if stem_cin % out_ch == 0 and math.isqrt(stem_cin // out_ch) ** 2 == stem_cin // out_ch \
+                and math.isqrt(stem_cin // out_ch) in (2, 4):
+            # stem cin = in_nc * (4 // scale)^2 with in_nc == out_ch for
+            # every constructible checkpoint — disambiguates 4-channel
+            # scale-2 (cin 16) from 1-channel scale-1 (also cin 16), which
+            # the reference's bare %16 heuristic misclassifies
+            down = math.isqrt(stem_cin // out_ch)
+            in_nc = out_ch
+            scale = 4 // down
+        elif stem_cin % 16 == 0:
+            in_nc = stem_cin // 16
             scale = 1
         else:
-            in_nc //= 4
+            in_nc = stem_cin // 4
             scale = 2
         pixel_unshuffle = True
     n_blocks = get_seq_len(sd, 'net')

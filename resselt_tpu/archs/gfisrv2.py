@@ -9,6 +9,8 @@ UniUpsampleV3 tail.
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -142,12 +144,21 @@ def _load(sd) -> SRModel:
         pixel_unshuffle = False
         in_nc = sd['in_to_dim.weight'].shape[1]
     else:
-        in_nc = sd['in_to_dim.1.weight'].shape[1]
-        if in_nc % 16 == 0:
-            in_nc //= 16
+        stem_cin = sd['in_to_dim.1.weight'].shape[1]
+        if stem_cin % out_ch == 0 and math.isqrt(stem_cin // out_ch) ** 2 == stem_cin // out_ch \
+                and math.isqrt(stem_cin // out_ch) in (2, 4):
+            # stem cin = in_nc * (4 // scale)^2 with in_nc == out_ch for
+            # every constructible checkpoint — disambiguates 4-channel
+            # scale-2 (cin 16) from 1-channel scale-1 (also cin 16), which
+            # the reference's bare %16 heuristic misclassifies
+            down = math.isqrt(stem_cin // out_ch)
+            in_nc = out_ch
+            scale = 4 // down
+        elif stem_cin % 16 == 0:
+            in_nc = stem_cin // 16
             scale = 1
         else:
-            in_nc //= 4
+            in_nc = stem_cin // 4
             scale = 2
         pixel_unshuffle = True
 

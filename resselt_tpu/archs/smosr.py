@@ -139,23 +139,30 @@ def transform_params(sd) -> dict:
     out = dict(sd)
     convnxc_prefixes = sorted({k[: -len('.sk.W')] for k in sd if k.endswith('.sk.W')})
     consumed = []
-    for prefix in convnxc_prefixes:
-        w, b = convnxc_collapse(sd, prefix)
+    collapsed: set[str] = set()
+
+    def emit(prefix, w, b):
         out[f'{prefix}.eval_conv.weight'] = w
         out[f'{prefix}.eval_conv.bias'] = b
+        collapsed.update((f'{prefix}.eval_conv.weight', f'{prefix}.eval_conv.bias'))
         consumed.append(prefix + '.')
+
+    for prefix in convnxc_prefixes:
+        emit(prefix, *convnxc_collapse(sd, prefix))
     doconv_prefixes = sorted({
         k[: -len('.W')] for k in sd
         if k.endswith('.W') and not any(k.startswith(c) for c in consumed)
     })
     for prefix in doconv_prefixes:
-        w, b = doconv_collapse(sd, prefix)
-        out[f'{prefix}.eval_conv.weight'] = w
-        out[f'{prefix}.eval_conv.bias'] = b
-        consumed.append(prefix + '.')
+        emit(prefix, *doconv_collapse(sd, prefix))
+    # keep only OUR collapsed outputs under consumed prefixes: rep=True
+    # checkpoints also carry the torch modules' stale nested eval_conv
+    # buffers (e.g. 'X.conv.0.eval_conv.*' inside a ConvNXC), which a
+    # blanket '.eval_conv.' exemption would upload to the device (~5x the
+    # needed param memory)
     return {
         k: v for k, v in out.items()
-        if not any(k.startswith(c) for c in consumed) or '.eval_conv.' in k
+        if k in collapsed or not any(k.startswith(c) for c in consumed)
     }
 
 
@@ -165,7 +172,15 @@ def _load(sd) -> SRModel:
     n_mb = get_seq_len(sd, 'blocks_2')
     meta_buf = [int(i) for i in sd['upsampler.MetaUpsample'].reshape(-1)]
     _, upsampler_idx, scale, _, out_dim, mid_dim, group, rep = meta_buf
-    d_conv = int(sd['upsampler.2.end_conv.weight'].shape[2]) if upsampler_idx == 4 and 'upsampler.2.end_conv.weight' in sd else 1
+    # DySample sits at 'upsampler.0' when mid_dim == in_dim (no leading
+    # conv), at 'upsampler.2' otherwise — read the end_conv kernel from
+    # whichever exists (a silent d_kernel=1 fallback mis-crops output)
+    d_conv = 1
+    if upsampler_idx == 4:
+        for _k in ('upsampler.2.end_conv.weight', 'upsampler.0.end_conv.weight'):
+            if _k in sd:
+                d_conv = int(sd[_k].shape[2])
+                break
 
     cfg = SMoSRConfig(
         in_ch=in_ch, out_ch=out_dim, dim=dim, scale=scale, rep=bool(rep), n_mb=n_mb,

@@ -13,6 +13,10 @@ TOL = 1e-3
     (1, False, 'conv'),
     (2, True, 'pixelshuffledirect'),
     (2, False, 'dysample'),
+    # pa_up's PA gate has a 'conv.0.weight' key that must NOT be mistaken
+    # for a Conv3XC bundle by the collapse marker (regression: KeyError)
+    (2, False, 'pa_up'),
+    (4, False, 'pa_up'),
 ])
 def test_gaterv3(scale, attention, upsampler):
     from resselt.archs.gaterv3.arch import GateRV3

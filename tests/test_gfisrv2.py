@@ -33,3 +33,25 @@ def test_gfisrv2(unshuffle, scale, upsampler):
     assert got.shape[1] >= 16 * scale - 1
     err = max_err(got[:, : 16 * scale, : 20 * scale], want[:, : 16 * scale, : 20 * scale])
     assert err < TOL, f'gfisrv2: max err {err}'
+
+
+@pytest.mark.parametrize('in_nc,scale', [(4, 2), (1, 1)])
+def test_gfisrv2_unshuffle_nonrgb(in_nc, scale):
+    """Same %16 ambiguity as GFISR: cin=16 is both 4ch@2x and 1ch@1x;
+    MetaUpsample out_ch disambiguates (regression)."""
+    from resselt.archs.gfisrv2.arch import GFISRV2
+
+    ref = init_random(
+        GFISRV2(in_nc=in_nc, dim=16, expansion_ratio=1.5, scale=scale, out_nc=in_nc,
+                upsampler='pixelshuffledirect', mid_dim=16, pixel_unshuffle=True,
+                n_blocks=4), 79
+    ).eval()
+    sd = state_dict_to_numpy(ref.state_dict())
+    model = resselt_tpu.load_from_state_dict(sd)
+    assert model.metadata.upscale == scale
+    assert model.metadata.in_channels == in_nc
+    x = np.random.default_rng(5).random((1, 16, 20, in_nc), dtype=np.float32)
+    want = run_torch(ref, x)
+    got = np.asarray(model(x))
+    assert got.shape == want.shape
+    assert max_err(got, want) < TOL
