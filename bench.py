@@ -65,23 +65,29 @@ def measure_tpu(sd) -> float:
         params = {k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v) for k, v in params.items()}
         x = x.astype(jnp.bfloat16)
     apply_fn = functools.partial(model._apply_fn, model.config)
-    iters = 4
+    from resselt_tpu.benchmark import calibrated_per_iter
 
     @jax.jit
-    def loop(p, x0):
+    def loop(p, x0, n):
         def body(_, carry):
             y = apply_fn(p, carry)
             return carry + jnp.asarray(1e-6, carry.dtype) * y[:, :t, :t, :]
 
-        out = jax.lax.fori_loop(0, iters, body, x0)
+        out = jax.lax.fori_loop(0, n, body, x0)
         return jnp.sum(out.astype(jnp.float32))
 
-    float(loop(params, x))  # compile + warm (sync via readback)
-    t0 = time.perf_counter()
-    float(loop(params, x))
-    dt = time.perf_counter() - t0
-    mps = (t * s) ** 2 * b * iters / 1e6 / dt
-    log(f'tpu: {mps:.2f} MP/s out ({dt / iters * 1e3:.1f} ms/batch of {b})')
+    float(loop(params, x, jnp.int32(2)))  # compile + warm (sync via readback)
+
+    def run(n):
+        t0 = time.perf_counter()
+        float(loop(params, x, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    # two-run delta cancels the fixed dispatch+readback tunnel latency
+    # (a single timed run under-reports by the ~0.1-0.3 s fixed cost)
+    per_iter = calibrated_per_iter(run, 2, min_seconds=3.0)
+    mps = (t * s) ** 2 * b / 1e6 / per_iter
+    log(f'tpu: {mps:.2f} MP/s out ({per_iter * 1e3:.1f} ms/batch of {b})')
     return mps
 
 

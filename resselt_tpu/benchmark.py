@@ -5,16 +5,46 @@ dependency-chained on-device ``fori_loop`` with a *dynamic* (traced)
 iteration bound — one compile per config — timed twice so the fixed
 dispatch+sync latency cancels, and synced through a scalar readback
 (``jax.block_until_ready`` does not reliably synchronize through the
-remote TPU tunnel).  Shared by ``tools/bench_families.py``,
-``tools/tune_serving.py`` and friends so the methodology lives in one
-place.  (``tools/bench_train.py`` measures a *train step* — a different
-loop body — with the same two-run calibration idiom.)
+remote TPU tunnel).  Shared by ``bench.py``, ``tools/bench_suite.py``,
+``tools/bench_families.py`` and ``tools/tune_serving.py`` so the
+methodology lives in one place.  (``tools/bench_train.py`` measures a
+*train step* — a different loop body — with the same calibration idiom.)
 """
 
 from __future__ import annotations
 
 import functools
 import time
+
+
+# v5e bf16 spec peak for MFU columns; measured attainable on this chip is
+# 164.5 TFLOP/s on a 128ch 3x3 conv = 83% of spec (tools/peak_conv.py)
+PEAK_TFLOPS = 197.0
+
+
+def calibrated_per_iter(run, iters: int, min_seconds: float = 2.0) -> float:
+    """Genuine seconds/iteration from a latency-cancelling two-run delta.
+
+    ``run(n)`` executes ``n`` dependency-chained iterations on device and
+    returns wall seconds INCLUDING the fixed dispatch+readback latency.
+    The first (short) run's latency inflates its per-iteration estimate,
+    which would UNDERSHOOT the second run's length (a 10 ms/iter config
+    behind 0.3 s of latency would get ~0.2 s of genuine work instead of
+    ``min_seconds``) — so the second run grows, re-estimating from the
+    genuine delta, until it contains at least ``min_seconds`` of real
+    device work beyond the first run.
+    """
+    dt1 = run(iters)
+    if dt1 >= 4 * min_seconds:  # slow config: dispatch latency negligible
+        return dt1 / iters
+    n2 = iters + max(iters, int(iters * min_seconds / max(dt1, 1e-3)) + 1)
+    while True:
+        dt2 = run(n2)
+        genuine = dt2 - dt1
+        if genuine >= min_seconds or n2 - iters >= 1_000_000:
+            return max(genuine, 1e-6) / (n2 - iters)
+        per_est = max(genuine, 1e-6) / (n2 - iters)
+        n2 = iters + max(2 * (n2 - iters), int(min_seconds / per_est) + 1)
 
 
 def measure_forward(model, tile: int, batch: int, dtype=None, iters: int = 3,
@@ -56,12 +86,6 @@ def measure_forward(model, tile: int, batch: int, dtype=None, iters: int = 3,
         float(loop(model.params, x, jnp.int32(n)))
         return time.perf_counter() - t0
 
-    dt1 = run(iters)
-    if dt1 >= 4 * min_seconds:  # slow config: dispatch latency negligible
-        per_iter = dt1 / iters
-    else:
-        n2 = iters + max(iters, int(iters * min_seconds / max(dt1, 1e-3)) + 1)
-        dt2 = run(n2)
-        per_iter = max(dt2 - dt1, 1e-6) / (n2 - iters)
+    per_iter = calibrated_per_iter(run, iters, min_seconds)
     mps = (tile * scale) ** 2 * batch / 1e6 / per_iter
     return mps, per_iter, scale

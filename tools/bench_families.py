@@ -32,7 +32,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -263,8 +262,11 @@ def main(argv=None) -> int:
         for name, (build, tile, batch) in cfgs.items():
             if args.only and args.only not in name:
                 continue
-            if name in state and not args.force:
-                log(f'== {name} == cached ({state[name]["mps_bf16"]:.1f} bf16 MP/s)')
+            row0 = state.get(name)
+            # a cached row is only valid for the SAME serving shape — a
+            # config edit (tile/batch) must invalidate it, not serve stale
+            if row0 and not args.force and (row0.get('tile'), row0.get('batch')) == (tile, batch):
+                log(f'== {name} == cached ({row0["mps_bf16"]:.1f} bf16 MP/s)')
                 continue
             log(f'== {name} ==')
             t0 = time.perf_counter()

@@ -19,7 +19,6 @@ is cached in .bench_suite_baseline.json.  Writes bench_suite.md.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -29,6 +28,8 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+from resselt_tpu.benchmark import PEAK_TFLOPS  # noqa: E402
 CACHE = os.path.join(REPO, '.bench_suite_baseline.json')
 
 
@@ -110,60 +111,31 @@ def _sd_numpy(model):
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
 
 
-def measure_tpu(model, tile: int, scale: int, batch: int, iters: int = 3,
-                min_seconds: float = 2.0) -> float:
-    import jax
-    import jax.numpy as jnp
+def measure_tpu(model, tile: int, scale: int, batch: int) -> float:
+    """Calibrated on-device loop (shared methodology, resselt_tpu.benchmark)."""
+    from resselt_tpu.benchmark import measure_forward
 
-    x = jnp.asarray(np.random.default_rng(0).random((batch, tile, tile, 3), dtype=np.float32))
-    apply_fn = functools.partial(model._apply_fn, model.config)
-
-    # the iteration count is a DEVICE scalar so calibration does not
-    # recompile; fast configs are re-run with enough iterations that the
-    # ~0.1-0.3 s per-dispatch tunnel latency stops polluting the number
-    @jax.jit
-    def loop(p, x0, n):
-        def body(_, carry):
-            y = apply_fn(p, carry)
-            return carry + 1e-6 * y[:, :tile, :tile, :]
-
-        return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
-
-    float(loop(model.params, x, jnp.int32(iters)))  # compile + warm
-
-    def run(n):
-        t0 = time.perf_counter()
-        float(loop(model.params, x, jnp.int32(n)))
-        return time.perf_counter() - t0
-
-    # rate from the DELTA of two run lengths: subtracting the short run
-    # cancels the fixed per-dispatch latency (~0.1-0.3 s through the
-    # tunnel) that otherwise floors short measurements. The first (dirty)
-    # run UNDERestimates speed, so the derived n2 gives >= min_seconds of
-    # genuine extra device work.
-    dt1 = run(iters)
-    if dt1 >= 4 * min_seconds:  # slow config: latency is already negligible
-        return (tile * scale) ** 2 * batch * iters / 1e6 / dt1
-    n2 = iters + max(iters, int(iters * min_seconds / max(dt1, 1e-3)) + 1)
-    dt2 = run(n2)
-    per_iter = max(dt2 - dt1, 1e-6) / (n2 - iters)
-    return (tile * scale) ** 2 * batch / 1e6 / per_iter
+    mps, _, _ = measure_forward(model, tile, batch)
+    return mps
 
 
-def measure_tpu_tiled(model, hw: tuple[int, int], tile: int, scale: int,
+def measure_tpu_tiled(model, hw: tuple[int, int], tile: int,
                       on_device: bool = True, unroll: int = 1,
                       batch_size: int | None = None, dtype=None) -> float:
     """End-to-end tiled-driver throughput on a large input.
 
     Syncs via an on-device reduction + scalar readback instead of copying
-    the stitched image to the host: through the axon tunnel a full-frame
-    transfer costs seconds and is not representative of a locally-attached
-    TPU (see CLAUDE.md methodology notes)."""
+    the stitched image to the host, and pre-uploads the input frame —
+    through the axon tunnel a full-frame transfer costs seconds either
+    way and is not representative of a locally-attached TPU (see CLAUDE.md
+    methodology notes)."""
+    import jax
     import jax.numpy as jnp
 
     from resselt_tpu.parallel import upscale_tiled
 
-    img = np.random.default_rng(0).random((hw[0], hw[1], 3), dtype=np.float32)
+    img = jax.device_put(
+        np.random.default_rng(0).random((hw[0], hw[1], 3), dtype=np.float32))
     kw = dict(tile=tile, halo=16, on_device=on_device, unroll=unroll,
               batch_size=batch_size, dtype=dtype)
     float(jnp.sum(upscale_tiled(model, img, **kw).astype(jnp.float32)))  # compile + warm
@@ -239,12 +211,12 @@ def main(argv=None) -> int:
             # parallel/tiling.py); surface it in the batch column
             tb = getattr(model, 'tile_batch', None) or 8
             c['batch'] = f"{tb.get('f32', 8)}/{tb.get('bf16', 8)}" if isinstance(tb, dict) else tb
-            mps = measure_tpu_tiled(model, c['tiled_input'], c['tile'], c['scale'])
+            mps = measure_tpu_tiled(model, c['tiled_input'], c['tile'])
             import jax.numpy as jnp
 
             # bf16 is the recommended serving path (quality gated by the
             # per-family column in parity_report.md)
-            mps_bf16 = measure_tpu_tiled(model, c['tiled_input'], c['tile'], c['scale'],
+            mps_bf16 = measure_tpu_tiled(model, c['tiled_input'], c['tile'],
                                          dtype=jnp.bfloat16)
         else:
             mps = measure_tpu(model, c['tile'], c['scale'], c['batch'])
@@ -277,10 +249,10 @@ def main(argv=None) -> int:
         tflops = (mps_bf16 or mps) * flops_per_out_mp / 1e12
         lines.append(
             f'| {name} | {size} | {c["batch"]} | {mps:.2f} | {b16} | '
-            f'{tflops:.1f} | {100 * tflops / 197.0:.1f} | {bs} | **{sp}** |'
+            f'{tflops:.1f} | {100 * tflops / PEAK_TFLOPS:.1f} | {bs} | **{sp}** |'
         )
     out = '\n'.join(lines) + '\n'
-    if not args.only:  # partial runs must not clobber the full table
+    if not (args.only or args.quick):  # partial/reduced runs must not clobber the full table
         open(os.path.join(REPO, 'bench_suite.md'), 'w').write(out)
     print(out)
     return 0

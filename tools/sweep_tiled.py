@@ -70,13 +70,13 @@ def main(argv=None) -> int:
     for arch in args.arch.split(','):
         if arch in ROW:
             c = cfgs[ROW[arch]]
-            ctor, scale = c['model'], c['scale']
+            ctor = c['model']
             hw = c.get('tiled_input') or HW[arch]
         else:
             import bench_families as bf
 
             ctor, _, _ = bf._configs()[FAMILY_ROW[arch]]
-            scale, hw = None, HW[arch]
+            hw = HW[arch]
         model = None
         for tile, batch in GRID[arch]:
             for dname, dt in (('f32', None), ('bf16', jnp.bfloat16)):
@@ -85,9 +85,8 @@ def main(argv=None) -> int:
                     continue
                 if model is None:
                     model = resselt_tpu.load_from_state_dict(bs._sd_numpy(ctor().eval()))
-                    scale = scale or model.metadata.upscale
                 try:
-                    mps = bs.measure_tpu_tiled(model, hw, tile, scale, batch_size=batch, dtype=dt)
+                    mps = bs.measure_tpu_tiled(model, hw, tile, batch_size=batch, dtype=dt)
                 except Exception as e:
                     done[key] = f'FAIL {type(e).__name__}: {str(e)[:100]}'
                     bs.log(key, '->', done[key])
