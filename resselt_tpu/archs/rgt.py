@@ -230,11 +230,12 @@ def _load(sd) -> SRModel:
     params = {k: v for k, v in sd.items() if '.attn_mask_' not in k}
     meta = ModelMetadata(in_channels=in_chans, out_channels=in_chans, upscale=upscale, name='RGT')
     model = SRModel('RGT', cfg, params, meta, apply)
-    # measured on v5e (sweep_tiled.json rgt rows + standalone re-runs,
-    # 720p): t128 wins f32 in both runs; bf16 cells are tunnel-noisy
-    # (2.2-3.8 MP/s across runs) but never favor larger tiles.  Batch:
-    # f32 peaks at 4, bf16 at 2 (sweep run).
-    model.tile_batch = {'f32': 4, 'bf16': 2}
+    # measured on v5e (sweep_tiled.json rgt rows, 720p, re-swept after the
+    # r3 benchmark fixes removed the tunnel noise that first made these
+    # cells unreadable): t128 b2 wins BOTH dtypes (3.98 f32 / 5.22 bf16
+    # MP/s; b4 loses 22% in f32 — the earlier {'f32': 4} hint was
+    # noise-derived).
+    model.tile_batch = 2
     model.serving_tile = 128
     return model
 

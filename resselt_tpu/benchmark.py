@@ -89,3 +89,56 @@ def measure_forward(model, tile: int, batch: int, dtype=None, iters: int = 3,
     per_iter = calibrated_per_iter(run, iters, min_seconds)
     mps = (tile * scale) ** 2 * batch / 1e6 / per_iter
     return mps, per_iter, scale
+
+
+def measure_tiled(model, hw, tile: int | None = None, halo: int = 16,
+                  batch_size: int | None = None, dtype=None, iters: int = 2,
+                  min_seconds: float = 2.0):
+    """End-to-end tiled-driver throughput, on-device-looped and calibrated.
+
+    Wraps the SAME single-dispatch program ``upscale_tiled`` serves
+    (``parallel.tiling.tiled_program``: extract -> scan over tile batches ->
+    stitch, per-arch batch resolution included) in a dependency-chained
+    ``fori_loop``, so the per-dispatch tunnel latency (~110 ms) and sync
+    jitter that made short single-dispatch timings noisy (CLAUDE.md: the
+    rgt cells) cancel out of the number.  Returns ``(mps, sec_per_frame)``.
+
+    Caveat (CLAUDE.md round 1): the fori_loop methodology can break on very
+    large transformer bodies (buffer-assignment pathology) — cross-check a
+    new config against a direct-dispatch timing once before trusting it
+    (tools/probe_tiled_loop.py did this for the seven tiled families).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .parallel.tiling import tiled_program
+
+    h, w = hw
+    fn, scale = tiled_program(model, h, w, tile=tile, halo=halo,
+                              batch_size=batch_size, dtype=dtype)
+    if fn is None:
+        raise ValueError(f'({h}, {w}) fits in one tile window; use measure_forward')
+    in_ch = model.metadata.in_channels
+    img = jnp.asarray(np.random.default_rng(0).random((h, w, in_ch), dtype=np.float32))
+    if dtype is not None:
+        img = img.astype(dtype)
+
+    @jax.jit
+    def loop(p, x0, n):
+        def body(_, carry):
+            y = fn(p, carry)
+            return carry + jnp.asarray(1e-6, carry.dtype) * y[:h, :w, :in_ch].astype(carry.dtype)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x0).astype(jnp.float32))
+
+    float(loop(model.params, img, jnp.int32(1)))  # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        float(loop(model.params, img, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    per_frame = calibrated_per_iter(run, iters, min_seconds)
+    mps = h * w * scale * scale / 1e6 / per_frame
+    return mps, per_frame

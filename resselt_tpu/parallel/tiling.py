@@ -189,6 +189,114 @@ def upscale_padded(
     return out[0] if squeeze else out
 
 
+def _plan_tiled(model, h: int, w: int, tile: int, halo: int,
+                batch_size: int | None, eff_dtype, mesh):
+    """Resolve the tile grid + batch for an (h, w) image, or None when the
+    image fits in one window (callers run the model whole).
+
+    ``eff_dtype`` is the dtype the tiles will actually run in (it selects
+    the dtype-dependent ``SRModel.tile_batch`` group)."""
+    window = tile + 2 * halo
+    if h <= window and w <= window:
+        return None
+    # A dimension smaller than a window becomes a single strip: shrink the
+    # window (and, for tiny dims, the halo — dynamic_slice requires
+    # window <= dim) along THAT axis only; the long axis keeps the
+    # configured tile so strips don't degenerate into many tiny squares.
+    ty = tx = tile
+    oy = ox = halo
+    if h < window:
+        oy = min(halo, max(0, (h - 1) // 2))
+        ty = max(1, h - 2 * oy)
+    if w < window:
+        ox = min(halo, max(0, (w - 1) // 2))
+        tx = max(1, w - 2 * ox)
+
+    grid = plan_grid(h, w, (ty, tx), (oy, ox))
+    n = len(grid.ys) * len(grid.xs)
+
+    if batch_size is None:
+        # 8 balances conv models (ESRGAN: B=8 is +27% vs B=1) against
+        # transformers (B>1 loses to VMEM pressure, see BENCHMARKS.md) and
+        # bounds activation memory on huge tile grids; loaders can override
+        # per-arch via SRModel.tile_batch — an int, or a {'f32': n,
+        # 'bf16': m} dict when the sweet spot is dtype-dependent (ATD:
+        # f32 tile rows are gather-bandwidth-bound and prefer smaller
+        # batches than bf16, tools/sweep_tiled.py)
+        tb = getattr(model, 'tile_batch', None)
+        if isinstance(tb, dict):
+            # normalize so strings ('bfloat16') and np/jnp dtypes compare
+            # equal to the type objects
+            eff = np.dtype(eff_dtype)
+            group = 'bf16' if eff in (np.dtype(jnp.bfloat16), np.dtype(jnp.float16)) else 'f32'
+            tb = tb.get(group) or tb.get('f32')
+        batch_size = min(n, tb or 8)
+    if mesh is not None:
+        # tiles are sharded over the FIRST mesh axis only (see the
+        # PartitionSpec in _make_fused_tiled_fn / the host loop); round the
+        # batch to that axis's size, not the total device count
+        dev = mesh.shape[mesh.axis_names[0]]
+        batch_size = max(dev, batch_size - batch_size % dev)
+    batch_size = min(batch_size, n) if mesh is None else batch_size
+    return grid, batch_size
+
+
+def _fused_for(model, grid: TileGrid, scale: int, batch_size: int, dtype_str: str,
+               precision, mesh, unroll: int):
+    """The LRU-cached one-dispatch tiled callable for a planned grid."""
+    # Bounded LRU: each entry holds a jitted callable plus its compiled
+    # executable, so unbounded growth when serving many distinct image
+    # sizes without bucket=True would leak memory (advisor r2). Varied-
+    # size serving beyond this bound should pass bucket=True.
+    from collections import OrderedDict
+
+    cache = model.__dict__.setdefault('_tiled_fn_cache', OrderedDict())
+    mesh_key = None
+    if mesh is not None:
+        mesh_key = (mesh.axis_names, mesh.devices.shape,
+                    tuple(d.id for d in mesh.devices.flat))
+    from ..core.factory import _dispatch_flags
+
+    key = (grid, batch_size, dtype_str, precision, mesh_key, unroll,
+           _dispatch_flags())
+    fused = cache.get(key)
+    if fused is None:
+        fused = _make_fused_tiled_fn(model, grid, scale, batch_size,
+                                     precision, mesh, unroll)
+        cache[key] = fused
+        while len(cache) > _TILED_FN_CACHE_MAX:
+            cache.popitem(last=False)
+    else:
+        cache.move_to_end(key)
+    return fused
+
+
+def tiled_program(model, h: int, w: int, *, tile: int | None = None, halo: int = 16,
+                  batch_size: int | None = None, mesh=None, dtype=None,
+                  precision: str | None = None, unroll: int = 1):
+    """The single-dispatch tiled program for an (h, w, C) image.
+
+    Returns ``(fn, scale)`` where ``fn(params, image)`` runs
+    extract -> scan -> stitch exactly as ``upscale_tiled`` would (same grid
+    planning, per-arch batch resolution, and jit cache), or ``(None, scale)``
+    when the image fits in one window.  ``resselt_tpu.benchmark`` wraps
+    ``fn`` in an on-device loop to time the driver without per-dispatch
+    overhead; the fn is also reusable for ahead-of-time compile warming."""
+    if tile is None:
+        tile = getattr(model, 'serving_tile', None) or 256
+    scale = model.metadata.upscale
+    if not isinstance(scale, int):
+        raise ValueError('tiled driver requires an integer upscale factor')
+    eff_dtype = dtype if dtype is not None else jnp.float32
+    planned = _plan_tiled(model, h, w, tile, halo, batch_size, eff_dtype, mesh)
+    if planned is None:
+        return None, scale
+    grid, batch_size = planned
+    fn = _fused_for(model, grid, scale, batch_size, str(np.dtype(eff_dtype)),
+                    precision, mesh, unroll)
+    return fn, scale
+
+
 def upscale_tiled(
     model,
     image,
@@ -247,48 +355,12 @@ def upscale_tiled(
             return out[: h0 * scale, : w0 * scale, :]
 
     h, w, _ = image.shape
-    window = tile + 2 * halo
-    if h <= window and w <= window:
+    planned = _plan_tiled(model, h, w, tile, halo, batch_size,
+                          dtype if dtype is not None else image.dtype, mesh)
+    if planned is None:
         return model(image, dtype=dtype, precision=precision)
-    # A dimension smaller than a window becomes a single strip: shrink the
-    # window (and, for tiny dims, the halo — dynamic_slice requires
-    # window <= dim) along THAT axis only; the long axis keeps the
-    # configured tile so strips don't degenerate into many tiny squares.
-    ty = tx = tile
-    oy = ox = halo
-    if h < window:
-        oy = min(halo, max(0, (h - 1) // 2))
-        ty = max(1, h - 2 * oy)
-    if w < window:
-        ox = min(halo, max(0, (w - 1) // 2))
-        tx = max(1, w - 2 * ox)
-
-    grid = plan_grid(h, w, (ty, tx), (oy, ox))
+    grid, batch_size = planned
     n = len(grid.ys) * len(grid.xs)
-
-    if batch_size is None:
-        # 8 balances conv models (ESRGAN: B=8 is +27% vs B=1) against
-        # transformers (B>1 loses to VMEM pressure, see BENCHMARKS.md) and
-        # bounds activation memory on huge tile grids; loaders can override
-        # per-arch via SRModel.tile_batch — an int, or a {'f32': n,
-        # 'bf16': m} dict when the sweet spot is dtype-dependent (ATD:
-        # f32 tile rows are gather-bandwidth-bound and prefer smaller
-        # batches than bf16, tools/sweep_tiled.py)
-        tb = getattr(model, 'tile_batch', None)
-        if isinstance(tb, dict):
-            # normalize so strings ('bfloat16') and np/jnp dtypes compare
-            # equal to the type objects
-            eff = np.dtype(dtype if dtype is not None else image.dtype)
-            group = 'bf16' if eff in (np.dtype(jnp.bfloat16), np.dtype(jnp.float16)) else 'f32'
-            tb = tb.get(group) or tb.get('f32')
-        batch_size = min(n, tb or 8)
-    if mesh is not None:
-        # tiles are sharded over the FIRST mesh axis only (see the
-        # PartitionSpec in _make_fused_tiled_fn / the host loop); round the
-        # batch to that axis's size, not the total device count
-        dev = mesh.shape[mesh.axis_names[0]]
-        batch_size = max(dev, batch_size - batch_size % dev)
-    batch_size = min(batch_size, n) if mesh is None else batch_size
 
     if on_device is None:
         on_device = True
@@ -299,30 +371,8 @@ def upscale_tiled(
             image = image.astype(dtype)
         elif image.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
             image = image.astype(jnp.float32)
-        # Bounded LRU: each entry holds a jitted callable plus its compiled
-        # executable, so unbounded growth when serving many distinct image
-        # sizes without bucket=True would leak memory (advisor r2). Varied-
-        # size serving beyond this bound should pass bucket=True.
-        from collections import OrderedDict
-
-        cache = model.__dict__.setdefault('_tiled_fn_cache', OrderedDict())
-        mesh_key = None
-        if mesh is not None:
-            mesh_key = (mesh.axis_names, mesh.devices.shape,
-                        tuple(d.id for d in mesh.devices.flat))
-        from ..core.factory import _dispatch_flags
-
-        key = (grid, batch_size, str(image.dtype), precision, mesh_key, unroll,
-               _dispatch_flags())
-        fused = cache.get(key)
-        if fused is None:
-            fused = _make_fused_tiled_fn(model, grid, scale, batch_size,
-                                         precision, mesh, unroll)
-            cache[key] = fused
-            while len(cache) > _TILED_FN_CACHE_MAX:
-                cache.popitem(last=False)
-        else:
-            cache.move_to_end(key)
+        fused = _fused_for(model, grid, scale, batch_size, str(image.dtype),
+                           precision, mesh, unroll)
         return fused(model.params, image)
 
     # host-loop path: one dispatch per tile batch (per-batch progress

@@ -160,6 +160,32 @@ def test_tiled_on_device_matches_host_loop():
     np.testing.assert_allclose(unrolled, host, atol=1e-6)
 
 
+def test_tiled_program_matches_upscale_tiled():
+    # tiled_program exposes the exact program upscale_tiled serves (shared
+    # planning + jit cache); benchmark.measure_tiled wraps it in a loop
+    from resselt_tpu.parallel.tiling import tiled_program
+
+    model = _compact_model()
+    img = np.random.default_rng(4).random((70, 90, 3), dtype=np.float32)
+    fn, scale = tiled_program(model, 70, 90, tile=32, halo=8)
+    assert scale == model.metadata.upscale
+    direct = np.asarray(upscale_tiled(model, img, tile=32, halo=8))
+    np.testing.assert_allclose(np.asarray(fn(model.params, img)), direct, atol=0)
+    # both resolved to the same cache entry — no second compilation
+    assert len(model.__dict__['_tiled_fn_cache']) == 1
+    # an image that fits one window signals None (caller runs the model whole)
+    fn_small, _ = tiled_program(model, 40, 40, tile=32, halo=8)
+    assert fn_small is None
+
+
+def test_measure_tiled_runs():
+    from resselt_tpu.benchmark import measure_tiled
+
+    model = _compact_model()
+    mps, sec = measure_tiled(model, (96, 140), tile=32, halo=8, min_seconds=0.05)
+    assert mps > 0 and sec > 0
+
+
 def test_tiled_bucket_shares_grid_and_matches_interior():
     # bucket=True pads to tile multiples: two different sizes in one bucket
     # reuse a single compiled grid, and interior pixels match the exact run

@@ -120,30 +120,17 @@ def measure_tpu(model, tile: int, scale: int, batch: int) -> float:
 
 
 def measure_tpu_tiled(model, hw: tuple[int, int], tile: int,
-                      on_device: bool = True, unroll: int = 1,
                       batch_size: int | None = None, dtype=None) -> float:
     """End-to-end tiled-driver throughput on a large input.
 
-    Syncs via an on-device reduction + scalar readback instead of copying
-    the stitched image to the host, and pre-uploads the input frame —
-    through the axon tunnel a full-frame transfer costs seconds either
-    way and is not representative of a locally-attached TPU (see CLAUDE.md
-    methodology notes)."""
-    import jax
-    import jax.numpy as jnp
+    Calibrated on-device loop around the driver's single-dispatch program
+    (resselt_tpu.benchmark.measure_tiled) — validated against direct
+    single-dispatch timing on all seven tiled families (agreement <= 3%,
+    the cancelled per-dispatch tunnel latency; probe_tiled_loop.json)."""
+    from resselt_tpu.benchmark import measure_tiled
 
-    from resselt_tpu.parallel import upscale_tiled
-
-    img = jax.device_put(
-        np.random.default_rng(0).random((hw[0], hw[1], 3), dtype=np.float32))
-    kw = dict(tile=tile, halo=16, on_device=on_device, unroll=unroll,
-              batch_size=batch_size, dtype=dtype)
-    float(jnp.sum(upscale_tiled(model, img, **kw).astype(jnp.float32)))  # compile + warm
-    t0 = time.perf_counter()
-    out = upscale_tiled(model, img, **kw)
-    float(jnp.sum(out.astype(jnp.float32)))
-    dt = time.perf_counter() - t0
-    return out.shape[0] * out.shape[1] / 1e6 / dt
+    mps, _ = measure_tiled(model, hw, tile=tile, batch_size=batch_size, dtype=dtype)
+    return mps
 
 
 def measure_torch_cpu(name: str, build, tile: int, scale: int) -> float:
