@@ -33,6 +33,7 @@ import numpy as np
 from ..core import Architecture, KeyCondition, ModelMetadata, SRModel
 from ..core.state_dict import get_pixelshuffle_params, get_seq_len, pixelshuffle_scale
 from ..nn import functional as F
+from ..nn import window as W
 from ..nn.params import PTree
 from ..nn.window import multi_head_attention, swin_attn_mask, window_partition, window_reverse
 
@@ -86,6 +87,25 @@ def _atd_ca(p: PTree, x, td, num_tokens: int):
     return out, attn
 
 
+def _acmsa_group_chunk(b: int, ng: int, heads: int) -> int | None:
+    """Groups per AC_MSA einsum chunk: a divisor of ``ng`` keeping the
+    batched score count b*heads*csg near 64 (the measured XLA sweet spot,
+    tools/probe_rpe_gather.py).  None = leave unchunked."""
+    per_group = b * heads
+    if ng * per_group < 128:
+        return None
+    best = None
+    for csg in range(1, ng):
+        if ng % csg:
+            continue
+        sz = csg * per_group
+        if sz > 128:
+            break
+        if best is None or abs(sz - 64) <= abs(best * per_group - 64):
+            best = csg
+    return best
+
+
 def _ac_msa(p: PTree, qkv, sim, heads: int, category_size: int):
     """AC_MSA (atd/arch.py:252-334): argmax -> sort -> grouped MSA -> unsort."""
     b, n, c3 = qkv.shape
@@ -113,11 +133,24 @@ def _ac_msa(p: PTree, qkv, sim, heads: int, category_size: int):
 
     y = shuffled.reshape(b, ng, gs, 3, heads, c // heads).transpose(3, 0, 1, 4, 2, 5)
     q, k, v = y[0], y[1], y[2]
-    attn = jnp.einsum('bghnd,bghmd->bghnm', q, k, preferred_element_type=jnp.float32).astype(qkv.dtype)
     logit_scale = jnp.exp(jnp.minimum(p['logit_scale'].astype(qkv.dtype), np.log(1.0 / 0.01)))
-    attn = attn * logit_scale
-    attn = F.softmax(attn)
-    out = jnp.einsum('bghnm,bghmd->bghnd', attn, v, preferred_element_type=jnp.float32).astype(qkv.dtype)
+
+    def _grouped_attn(qc, kc, vc):
+        attn = jnp.einsum('bghnd,bghmd->bghnm', qc, kc, preferred_element_type=jnp.float32).astype(qkv.dtype)
+        attn = attn * logit_scale
+        attn = F.softmax(attn)
+        return jnp.einsum('bghnm,bghmd->bghnd', attn, vc, preferred_element_type=jnp.float32).astype(qkv.dtype)
+
+    # XLA's batched attention degrades past ~128 stacked (group, head)
+    # matrices just like the window case (nn/window.py::use_chunked_attention);
+    # chunk along the group axis so each einsum sees ~64 score matrices.
+    csg = _acmsa_group_chunk(b, ng, heads) if W.chunked_attention_enabled() else None
+    if csg is not None:
+        out = jnp.concatenate(
+            [_grouped_attn(q[:, s : s + csg], k[:, s : s + csg], v[:, s : s + csg])
+             for s in range(0, ng, csg)], axis=1)
+    else:
+        out = _grouped_attn(q, k, v)
     out = out.transpose(0, 1, 3, 2, 4).reshape(b, n + pad_n, c)[:, :n, :]
 
     # unsort (atd/arch.py:322-325): invert the permutation with a cheap

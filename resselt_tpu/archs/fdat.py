@@ -17,6 +17,7 @@ from ..core import Architecture, KeyCondition, ModelMetadata, SRModel
 from ..core.state_dict import get_seq_len
 from ..nn import functional as F
 from ..nn.params import PTree
+from ..nn.window import multi_head_attention
 from ..nn.upsample import SAMPLE_MODS3, uni_upsample_v3
 from ..nn.window import window_partition, window_reverse
 
@@ -51,14 +52,8 @@ def _spatial_attn(p: PTree, x, nh: int, ws: int):
     q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
     n = ws * ws
     hd = c // nh
-    q = q.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3) * (hd**-0.5)
-    k = k.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
-    attn = jnp.einsum('bhnd,bhmd->bhnm', q, k, preferred_element_type=jnp.float32).astype(x.dtype)
-    attn = attn + p['bias'].astype(x.dtype)[None]
-    attn = F.softmax(attn)
-    out = jnp.einsum('bhnm,bhmd->bhnd', attn, v, preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(-1, n, c)
+    # shared dispatch (nn/window.py): fused-kernel gate + >=128-window chunking
+    out = multi_head_attention(q, k, v, nh, hd**-0.5, bias=p['bias'].astype(x.dtype))
     out = F.linear(out, p['proj.weight'], p.get('proj.bias'))
     out = window_reverse(out, ws, hp, wp)
     if pad_b or pad_r:

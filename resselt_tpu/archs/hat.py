@@ -167,17 +167,12 @@ def _ocab(p: PTree, x, cfg: HATConfig, num_heads: int, rpi_oca):
 
     hd = c // num_heads
     scale = hd**-0.5
-    bq = q_windows.shape[0]
     nq, n = ws * ws, owin * owin
-    qh = q_windows.reshape(bq, nq, num_heads, hd).transpose(0, 2, 1, 3)
-    kh = k_windows.reshape(bq, n, num_heads, hd).transpose(0, 2, 1, 3)
-    vh = v_windows.reshape(bq, n, num_heads, hd).transpose(0, 2, 1, 3)
-    attn = jnp.einsum('bhnd,bhmd->bhnm', qh * scale, kh, preferred_element_type=jnp.float32).astype(x.dtype)
     bias = p['relative_position_bias_table'][rpi_oca.reshape(-1)].reshape(nq, n, num_heads)
-    attn = attn + bias.transpose(2, 0, 1).astype(x.dtype)[None]
-    attn = F.softmax(attn)
-    out = jnp.einsum('bhnm,bhmd->bhnd', attn, vh, preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(bq, nq, c)
+    bias = bias.transpose(2, 0, 1).astype(x.dtype)
+    # rectangular (nq x n) cross-attention through the shared dispatch —
+    # picks up the >=128-window chunked path (nn/window.py)
+    out = multi_head_attention(q_windows, k_windows, v_windows, num_heads, scale, bias=bias)
     out = window_reverse(out, ws, h, w)
 
     x = F.linear(out, p['proj.weight'], p.get('proj.bias')) + shortcut

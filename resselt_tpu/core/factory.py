@@ -59,12 +59,15 @@ def _dispatch_flags() -> tuple:
     """Current trace-time kernel-dispatch settings, used as jit cache keys."""
     from ..nn.functional import block_diag_groups_enabled
     from ..nn.spectral import mm_dft_enabled
-    from ..nn.window import fused_attention_enabled, packed_attention_enabled
+    from ..nn.window import (
+        chunked_attention_enabled, fused_attention_enabled, packed_attention_enabled,
+    )
     from ..ops.fused_conv import fused_lk_enabled
     from ..ops.molrcm import fused_molrcm_enabled
 
     return (fused_attention_enabled(), fused_lk_enabled(), packed_attention_enabled(),
-            fused_molrcm_enabled(), mm_dft_enabled(), block_diag_groups_enabled())
+            fused_molrcm_enabled(), mm_dft_enabled(), block_diag_groups_enabled(),
+            chunked_attention_enabled())
 
 
 def _to_jax_params(params: Mapping[str, np.ndarray]):

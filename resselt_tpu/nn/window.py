@@ -64,6 +64,41 @@ def swin_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray | None:
 
 _FUSED_ATTENTION = True
 _PACKED_ATTENTION = False
+_CHUNKED_ATTENTION = True
+
+
+def chunked_attention_enabled() -> bool:
+    return _CHUNKED_ATTENTION
+
+
+def use_chunked_attention(on: bool) -> None:
+    """Split large window batches into ~64-window chunks before the XLA
+    attention einsums.  XLA's batched attention fusion degrades past ~128
+    stacked windows (measured on v5e, tools/probe_rpe_gather.py, n=256
+    c=144: 2.20 us/window at 128 windows vs 4.45 at 512; chunking restores
+    1.9x bf16 / 2.5x f32 on the attention core).  Exact math — same ops per
+    chunk, concatenated.  Kill switch, keyed into jit caches via
+    core.factory._dispatch_flags."""
+    global _CHUNKED_ATTENTION
+    _CHUNKED_ATTENTION = bool(on)
+
+
+def _attn_chunk_size(b: int, nw: int | None) -> int | None:
+    """Chunk size for the window-batch dim: a divisor of ``b`` near 64
+    (the measured sweet spot for both dtypes), aligned to the ``nw``-window
+    mask structure (chunks must hold whole mask periods or an integer
+    divisor of one).  None = do not chunk."""
+    if b < 128:
+        return None
+    best = None
+    for cs in range(32, 129):
+        if b % cs:
+            continue
+        if nw is not None and (cs % nw != 0 and nw % cs != 0):
+            continue
+        if best is None or abs(cs - 64) < abs(best - 64):
+            best = cs
+    return best
 
 
 def fused_attention_enabled() -> bool:
@@ -99,10 +134,12 @@ def use_fused_attention(on: bool) -> None:
 def multi_head_attention(q, k, v, num_heads: int, scale: float, bias=None, mask=None):
     """Batched MHA over token sequences.
 
-    q/k/v: (B, N, C) already projected; bias: (num_heads, N, N) additive;
-    mask: (nW, N, N) additive where B is a multiple of nW."""
+    q: (B, N, C) already projected; k/v: (B, M, C) (M == N for plain window
+    attention; M > N for HAT's overlapping cross-attention); bias:
+    (num_heads, N, M) additive; mask: (nW, N, M) additive where B is a
+    multiple of nW."""
     b, n, c = q.shape
-    if _FUSED_ATTENTION and bias is not None:
+    if _FUSED_ATTENTION and bias is not None and k.shape[1] == n:
         from ..ops.window_attention import supported, window_mha_pallas
 
         nw = None if mask is None else mask.shape[0]
@@ -110,17 +147,40 @@ def multi_head_attention(q, k, v, num_heads: int, scale: float, bias=None, mask=
             mask_j = None if mask is None else jnp.asarray(mask)
             return window_mha_pallas(q, k, v, jnp.asarray(bias, jnp.float32), mask_j,
                                      num_heads=num_heads, scale=float(scale))
+    # n >= 128 only: SwinIR-class n=64 windows measured a ~7% LOSS chunked
+    # (128^2 b1: 12.8 -> 11.9 MP/s) while every n >= 128 family won
+    if _CHUNKED_ATTENTION and n >= 128:
+        cs = _attn_chunk_size(b, None if mask is None else mask.shape[0])
+        if cs is not None and cs < b:
+            nw = None if mask is None else mask.shape[0]
+            outs = []
+            for i in range(0, b, cs):
+                if mask is None:
+                    mc = None
+                elif cs % nw == 0:
+                    mc = mask  # whole mask periods per chunk
+                else:
+                    mc = mask[i % nw : i % nw + cs]  # nw % cs == 0
+                outs.append(_mha_xla(q[i : i + cs], k[i : i + cs], v[i : i + cs],
+                                     num_heads, scale, bias, mc))
+            return jnp.concatenate(outs, axis=0)
+    return _mha_xla(q, k, v, num_heads, scale, bias, mask)
+
+
+def _mha_xla(q, k, v, num_heads: int, scale: float, bias, mask):
+    b, n, c = q.shape
+    m = k.shape[1]
     hd = c // num_heads
     q = q.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, m, num_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, m, num_heads, hd).transpose(0, 2, 1, 3)
     attn = jnp.einsum('bhnd,bhmd->bhnm', q * scale, k, preferred_element_type=jnp.float32).astype(q.dtype)
     if bias is not None:
         attn = attn + bias[None]
     if mask is not None:
         nw = mask.shape[0]
-        attn = attn.reshape(b // nw, nw, num_heads, n, n) + mask[None, :, None]
-        attn = attn.reshape(b, num_heads, n, n)
+        attn = attn.reshape(b // nw, nw, num_heads, n, m) + mask[None, :, None]
+        attn = attn.reshape(b, num_heads, n, m)
     attn = F.softmax(attn, axis=-1)
     out = jnp.einsum('bhnm,bhmd->bhnd', attn, v, preferred_element_type=jnp.float32).astype(q.dtype)
     return out.transpose(0, 2, 1, 3).reshape(b, n, c)

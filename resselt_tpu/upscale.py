@@ -112,6 +112,11 @@ def main(argv=None) -> int:
              'TPU for PLKSR-class shapes where it measured 2x XLA)',
     )
     parser.add_argument(
+        '--no-chunked-attention', action='store_true',
+        help='disable chunking of >=128-window attention batches (on by '
+             'default; ~1.9x bf16 / 2.5x f32 on the attention core, exact math)',
+    )
+    parser.add_argument(
         '--precision', default=None, choices=['highest', 'tensorfloat32', 'bfloat16'],
         help='matmul/conv precision (default: device-fastest; highest = full-f32 MXU passes)',
     )
@@ -190,6 +195,10 @@ def main(argv=None) -> int:
         from resselt_tpu.ops.fused_conv import use_fused_lk
 
         use_fused_lk(False)
+    if args.no_chunked_attention:
+        from resselt_tpu.nn.window import use_chunked_attention
+
+        use_chunked_attention(False)
 
     def run_plane(img):
         if args.tile and (img.shape[0] > args.tile or img.shape[1] > args.tile):

@@ -260,3 +260,50 @@ def test_fused_conv_rejects_unaligned_th():
         fused_conv_lk(x, np.zeros((16, 16, 17, 17), np.float32), k=17, th=12, interpret=True)
     with pytest.raises(ValueError, match='linear'):
         fused_conv_lk(x, np.zeros((16, 16, 17, 17), np.float32), k=17, act='silu', interpret=True)
+
+
+@pytest.mark.parametrize('b,nw,n,c,heads', [
+    (256, 64, 64, 60, 6),    # cs=64 divides b, nw | cs (whole mask periods)
+    (288, 144, 64, 60, 6),   # cs=72 divides nw (mask sliced per chunk)
+    (256, None, 256, 144, 6),  # no mask, HAT-class
+])
+def test_chunked_attention_matches_unchunked(b, nw, n, c, heads):
+    """The >=128-window chunked XLA dispatch (nn/window.py::_attn_chunk_size)
+    is exact: identical per-row math, concatenated."""
+    import jax.numpy as jnp
+
+    from resselt_tpu.nn import window as W
+
+    rng = np.random.default_rng(1)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, c), np.float32) * 0.2) for _ in range(3))
+    bias = jnp.asarray(rng.standard_normal((heads, n, n), np.float32) * 0.1)
+    mask = None
+    if nw is not None:
+        mask = jnp.asarray(np.where(rng.random((nw, n, n)) < 0.2, -100.0, 0.0).astype(np.float32))
+    scale = (c // heads) ** -0.5
+
+    cs = W._attn_chunk_size(b, nw)
+    assert cs is not None and cs < b, (cs, b, nw)
+    if nw is not None:
+        assert cs % nw == 0 or nw % cs == 0
+
+    try:
+        W.use_chunked_attention(True)
+        got = np.asarray(W.multi_head_attention(q, k, v, heads, scale, bias=bias, mask=mask))
+        W.use_chunked_attention(False)
+        want = np.asarray(W.multi_head_attention(q, k, v, heads, scale, bias=bias, mask=mask))
+    finally:
+        W.use_chunked_attention(True)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_attn_chunk_size_rules():
+    from resselt_tpu.nn.window import _attn_chunk_size
+
+    assert _attn_chunk_size(64, None) is None          # below threshold
+    assert _attn_chunk_size(512, None) == 64
+    assert _attn_chunk_size(512, 64) == 64             # whole mask periods
+    assert _attn_chunk_size(1152, 144) == 72           # divisor of the mask period
+    cs = _attn_chunk_size(200, 100)                    # DRCT-L 160px b2
+    assert cs in (40, 50, 100) and (cs % 100 == 0 or 100 % cs == 0)
+    assert _attn_chunk_size(127, None) is None         # prime, no divisor in range

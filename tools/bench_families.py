@@ -188,15 +188,23 @@ def render(state: dict, order) -> str:
         '  4.4-18x faster per conv -> gaterv2 3.3->7.3, gaterv3 2.3->5.7',
         '  bf16 MP/s (~2.2x whole-model, both dtypes).  GFLOP/fwd columns',
         '  count the dense FLOPs the compiled model now actually runs.',
-        "- **atd (1.8%)**: round-2's \"sort-bound AC_MSA\" framing was",
+        "- **atd (2.0%)**: round-2's \"sort-bound AC_MSA\" framing was",
         '  wrong — the argsort is free (0.013 ms); the (b, n, c) row',
         '  gather/scatter dominated it (1.5 of a 3.0 ms layer at 192^2',
         '  b2 bf16, tools/profile_atd.py).  Flattened (b*n, c) takes +',
         '  an int-scatter permutation inverse (tools/probe_gather.py)',
-        '  run the shuffles 2.7x/6x faster: AC_MSA 1.50 -> 0.85 ms,',
-        '  model 6.4 -> 8.0 f32 / 11.3 -> 12.5 bf16 MP/s.  What remains',
-        '  is window attention (0.91 ms, the closed n=256 fused-attn',
-        '  dead end) + MSA einsums + ConvFFN — model-inherent.',
+        '  run the shuffles 2.7x/6x faster (6.4 -> 8.0 f32 / 11.3 ->',
+        '  12.5 bf16 MP/s); chunked attention (window branch + AC_MSA',
+        '  group-axis chunks) added 8.0 -> 10.3 / 12.5 -> 14.2.',
+        '- **chunked attention** (nn/window.py::use_chunked_attention):',
+        '  XLA batched-attention fusion degrades past ~128 stacked',
+        '  windows (tools/probe_rpe_gather.py, n=256 c=144 bf16: 2.2',
+        '  us/window at 128 vs 4.45 at 512); chunking the window batch',
+        '  to ~64 per einsum restores 1.9x bf16 / 2.5x f32 on the',
+        '  attention core — exact math, no kernel.  Whole-model: hat',
+        '  4.4->5.5 f32 / 7.0->8.8 bf16, drct 6.8->9.7 / 11.8->15.0,',
+        '  dat-s 6.0->7.0 / 8.3->9.9, atd above; swinir (n=64, gated',
+        '  off after a measured -7%), fdat, rgt neutral.',
         '- **omni**: row reflects the window-first channel-attention',
         '  rewrite (archs/omni.py::_channel_attn): the reference layout',
         '  puts window positions in the lane dim via 7-D transposes that',
@@ -226,11 +234,14 @@ def render(state: dict, order) -> str:
         '- **flexnet (5.1%)**: profiled, no single hotspot (tools/',
         '  profile_flexnet.py) — cost spread over dw convs, window attn',
         '  at n=64, and LayerNorms on a 48ch trunk.  Model-inherent.',
-        '- **hat-s / fdat**: profiled to the XLA formulation ceiling in',
-        '  round 3 (tools/profile_hat.py, probe_ocab_asm.py): window',
-        '  attention n=256 hd<=24 and OCAB assembly dominate; the fused',
-        '  and head-packed kernel variants all measured at or below XLA',
-        '  (dead ends in CLAUDE.md).  fdat shares the DAT-class blocks.',
+        '- **hat-s / fdat**: the round-3 "XLA formulation ceiling" was',
+        '  the <=144-window regime only; chunked attention recovered the',
+        '  large-batch degradation (HAB window branch + OCAB, both now',
+        '  through the shared rectangular-kv multi_head_attention).  At',
+        '  144 stacked windows the XLA attention block already runs at',
+        '  ~1.2x the padded-MXU floor (0.336 vs 0.28 ms) — no room for',
+        '  any fused/flash kernel there; that line stays closed.  fdat',
+        '  (ws=8, n=64) is below the chunk gate and unchanged.',
     ]
     return '\n'.join(lines) + '\n'
 
