@@ -57,7 +57,15 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, heads: int, hd: i
 
 
 def supported(n: int, c: int, num_heads: int, mask_windows: int | None, batch: int) -> bool:
-    """Shapes where this kernel measured FASTER than the XLA path.
+    """Shapes where this kernel measured FASTER than the UNCHUNKED XLA path.
+
+    SUPERSEDED as the default dispatch by chunked attention
+    (nn/window.py::use_chunked_attention): at this gate's one admitted
+    regime (n=128, >=1024 windows) chunked XLA measured faster in bf16
+    (DAT-S tiled 720p: 4.48 vs 4.13 MP/s) and noise-tied in f32
+    (tools/probe_dat_dispatch_tiled.py), so multi_head_attention tries
+    chunking first and only falls through here when chunking declines
+    (e.g. --no-chunked-attention).  Original gate analysis below.
 
     Measured per-tile bf16 (v5e, 160²/224² tiles): DAT-S (n=128, hd=30)
     57.6 ms fused vs 68.0 XLA; HAT-S (n=256, hd=24) 70.3 vs 67.0; ATD-light

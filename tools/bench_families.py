@@ -218,10 +218,12 @@ def render(state: dict, order) -> str:
         '  precision MXU matmuls, +8/+27/+29/+62% bf16 over jnp.fft.',
         '  lawfft remains low-MFU: its FSAS mixing is elementwise-heavy',
         '  and the cost model counts DFT matmuls as real FLOPs.',
-        '- **dat-s**: the fused window-attention kernel only wins above',
-        '  ~1024 stacked windows (512 loses 6.5 vs 7.4 MP/s, 1024 wins 8.4',
-        '  vs 6.7); the dispatch gate now requires batch*nW >= 1024, which',
-        '  keeps serving (tile_batch 8) fused and small batches on XLA.',
+        '- **dat-s**: the fused window-attention kernel is SUPERSEDED by',
+        '  chunked attention as the default dispatch — its one admitted',
+        '  regime (n=128, >=1024 windows) measured slower than chunked',
+        '  XLA in bf16 (tiled 720p 4.13 vs 4.48 MP/s) and noise-tied f32',
+        '  (tools/probe_dat_dispatch_tiled.py); it still serves as the',
+        '  fallback when --no-chunked-attention is set.',
         '- **rha (9.8%)**: block anatomy (tools/profile_rha_rtmosr.py,',
         '  192^2 b4 bf16): fc1 64->192ch 3x3 runs 35 TFLOP/s and fc2',
         '  96->64 runs 16.6 — both AT the small-C padded-lane conv',

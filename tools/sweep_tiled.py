@@ -43,7 +43,8 @@ GRID = {
     # methodology breaks at >=192^2 so larger tiles were never timed);
     # the end-to-end driver sidesteps the loop pathology entirely.
     'swinir': [(128, 1), (128, 2), (160, 1), (160, 2), (192, 1)],
-    'drct': [(128, 1), (128, 2), (160, 1), (160, 2), (192, 1)],
+    # chunked attention scales batches better — probe b4 for drct too
+    'drct': [(128, 1), (128, 2), (128, 4), (160, 1), (160, 2), (160, 4), (192, 1)],
     'rgt': [(128, 2), (128, 4), (160, 2), (160, 4), (192, 2)],
     'fdat': [(128, 2), (128, 4), (160, 2), (160, 4), (192, 2)],
 }
