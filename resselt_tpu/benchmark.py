@@ -91,7 +91,7 @@ def measure_forward(model, tile: int, batch: int, dtype=None, iters: int = 3,
     return mps, per_iter, scale
 
 
-def measure_tiled(model, hw, tile: int | None = None, halo: int = 16,
+def measure_tiled(model, hw, tile: int | None = None, halo: int | None = None,
                   batch_size: int | None = None, dtype=None, iters: int = 2,
                   min_seconds: float = 2.0):
     """End-to-end tiled-driver throughput, on-device-looped and calibrated.

@@ -40,6 +40,7 @@ def save_model(model: SRModel, path: str) -> None:
         # survive the cache round-trip — the cache path exists FOR serving
         'tile_batch': model.tile_batch,
         'serving_tile': model.serving_tile,
+        'serving_halo': model.serving_halo,
     }
     arrays = {k: np.asarray(v) for k, v in model.params.items()}
     np.savez(path, __header__=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8), **arrays)
@@ -81,4 +82,5 @@ def load_model(path: str) -> SRModel:
     model = SRModel(header['arch_id'], cfg, params, meta, apply_fn)
     model.tile_batch = header.get('tile_batch')
     model.serving_tile = header.get('serving_tile')
+    model.serving_halo = header.get('serving_halo')
     return model

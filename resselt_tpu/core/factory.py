@@ -115,6 +115,12 @@ class SRModel:
         # measure fastest well below the conv default of 256 (end-to-end
         # sweep in sweep_tiled.json).  None = use the driver default.
         self.serving_tile: int | None = None
+        # loader-set hint for the tiled driver's halo (overlap): measured
+        # per-arch by tools/sweep_halo.py under a seam-parity gate — halo
+        # recompute is (window^2 - tile^2)/tile^2 extra work per tile
+        # (~56% at t128 h16), so the smallest halo that keeps seams
+        # invisible is the serving optimum.  None = driver default 16.
+        self.serving_halo: int | None = None
         self._apply_fn = apply_fn
 
         # kernel-dispatch flags (e.g. nn.window.use_fused_attention) are
@@ -162,6 +168,7 @@ class SRModel:
         clone.params = self.params
         clone.tile_batch = self.tile_batch
         clone.serving_tile = self.serving_tile
+        clone.serving_halo = self.serving_halo
         return clone
 
     def apply(self, params, x: jax.Array) -> jax.Array:
@@ -199,6 +206,7 @@ class SRModel:
         clone = SRModel(self.arch_id, self.config, q, self.metadata, self._apply_fn)
         clone.tile_batch = self.tile_batch
         clone.serving_tile = self.serving_tile
+        clone.serving_halo = self.serving_halo
         return clone
 
     def cost(self, height: int, width: int, batch: int = 1) -> dict:

@@ -271,7 +271,8 @@ def _fused_for(model, grid: TileGrid, scale: int, batch_size: int, dtype_str: st
     return fused
 
 
-def tiled_program(model, h: int, w: int, *, tile: int | None = None, halo: int = 16,
+def tiled_program(model, h: int, w: int, *, tile: int | None = None,
+                  halo: int | None = None,
                   batch_size: int | None = None, mesh=None, dtype=None,
                   precision: str | None = None, unroll: int = 1):
     """The single-dispatch tiled program for an (h, w, C) image.
@@ -284,6 +285,8 @@ def tiled_program(model, h: int, w: int, *, tile: int | None = None, halo: int =
     overhead; the fn is also reusable for ahead-of-time compile warming."""
     if tile is None:
         tile = getattr(model, 'serving_tile', None) or 256
+    if halo is None:
+        halo = getattr(model, 'serving_halo', None) or 16
     scale = model.metadata.upscale
     if not isinstance(scale, int):
         raise ValueError('tiled driver requires an integer upscale factor')
@@ -301,7 +304,7 @@ def upscale_tiled(
     model,
     image,
     tile: int | None = None,
-    halo: int = 16,
+    halo: int | None = None,
     batch_size: int | None = None,
     mesh: 'jax.sharding.Mesh | None' = None,
     dtype=None,
@@ -314,6 +317,8 @@ def upscale_tiled(
 
     ``tile=None`` (default) uses the loader's measured per-arch sweet spot
     (``SRModel.serving_tile``, e.g. transformers 128-192) or 256.
+    ``halo=None`` (default) likewise resolves ``SRModel.serving_halo``
+    (seam-parity-gated sweep, tools/sweep_halo.py) or 16.
 
     ``image``: (H, W, C) in [0, 1].  When ``mesh`` is given, each tile batch
     is sharded over the mesh's first axis (data parallel over tiles).
@@ -337,6 +342,8 @@ def upscale_tiled(
         # per-arch measured sweet spot (loader-set, sweep_tiled.json);
         # conv-model default 256
         tile = getattr(model, 'serving_tile', None) or 256
+    if halo is None:
+        halo = getattr(model, 'serving_halo', None) or 16
     image = jnp.asarray(image)
     if image.ndim != 3:
         raise ValueError('upscale_tiled expects an HWC image')

@@ -92,7 +92,9 @@ def main(argv=None) -> int:
     parser.add_argument('--scale', type=int, default=None,
                         help='pick a scale on an arbitrary-scale checkpoint (SpanPP '
                              'IGConv trains one tail per scale; default = base scale)')
-    parser.add_argument('--halo', type=int, default=16, help='tile halo/overlap')
+    parser.add_argument('--halo', type=int, default=None,
+                        help='tile halo/overlap (default: the arch\'s measured '
+                             'seam-parity-gated sweet spot, or 16)')
     parser.add_argument('--bucket', action='store_true',
                         help='pad inputs to tile multiples so mixed-size batches share one '
                              'compiled tile grid (slight border deviation within the halo)')

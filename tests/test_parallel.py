@@ -107,6 +107,23 @@ def test_tiled_serving_tile_hint():
     assert model.with_config().serving_tile == 32
 
 
+def test_tiled_serving_halo_hint():
+    """halo=None resolves SRModel.serving_halo (or 16); explicit halo wins.
+
+    Measured per-arch by tools/sweep_halo.py under a seam-parity gate —
+    halo recompute is ~56% extra work per tile at t128 h16."""
+    model = _compact_model()
+    img = np.random.default_rng(9).random((70, 90, 3), dtype=np.float32)
+
+    model.serving_tile = 32
+    model.serving_halo = 8
+    hinted = np.asarray(upscale_tiled(model, img))
+    explicit = np.asarray(upscale_tiled(model, img, tile=32, halo=8))
+    assert np.abs(hinted - explicit).max() < 1e-6
+    assert len(model._tiled_fn_cache) == 1  # both calls shared one compiled grid
+    assert model.with_config().serving_halo == 8
+
+
 def test_tiled_dtype_aware_tile_batch():
     """SRModel.tile_batch may be a {'f32': n, 'bf16': m} dict; the driver
     resolves it against the serving dtype and output is batch-invariant."""

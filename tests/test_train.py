@@ -191,3 +191,54 @@ def test_train_step_remat_matches_plain():
             np.asarray(outs[True][0].params[k]), np.asarray(outs[False][0].params[k]),
             rtol=1e-5, atol=1e-6, err_msg=k)
     assert float(outs[True][1]['loss']) == pytest.approx(float(outs[False][1]['loss']), rel=1e-5)
+
+
+def test_train_export_oracle_roundtrip(tmp_path):
+    """Close the write-path loop with the torch ecosystem: train a few
+    steps, export the trained params to .safetensors, run the exported
+    file BOTH back through our own detection (convert CLI round-trip) AND
+    into the torch reference model — forward outputs must agree.
+
+    The reference ingests safetensors state dicts directly
+    (resselt/registry.py:97-100); our params are already checkpoint-keyed
+    torch layouts (conv OIHW), so the exported file must be a drop-in
+    torch checkpoint."""
+    from tests.torch_ref import run_torch
+
+    model = _model()  # compact: num_feat=16, num_conv=2, upscale=2
+    opt = make_optimizer(lr=1e-3)
+    state = init_train_state(model.params, opt)
+    step = jax.jit(make_train_step(model._apply_fn, model.config, opt))
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+    lr = hr[:, ::2, ::2, :]
+    for _ in range(3):
+        state, _ = step(state, lr, hr)
+
+    from resselt_tpu.io import write_safetensors
+
+    trained = str(tmp_path / 'trained.safetensors')
+    write_safetensors(state.params, trained, metadata={'arch': model.arch_id})
+
+    # our registry re-detects + reloads the exported file (convert CLI)
+    from resselt_tpu.convert import main as convert_main
+
+    assert convert_main([trained, str(tmp_path / 'rt.npz')]) == 0
+    from resselt_tpu.cache import load_model
+
+    ours = load_model(str(tmp_path / 'rt.npz'))
+    assert ours.arch_id == 'Compact'
+
+    # the torch reference ingests the exported file with identical output
+    import torch
+    from safetensors.torch import load_file
+
+    from resselt.archs.compact.arch import SRVGGNetCompact
+
+    ref = SRVGGNetCompact(num_feat=16, num_conv=2, upscale=2).eval()
+    ref.load_state_dict(load_file(trained), strict=True)
+    x = np.random.default_rng(5).random((1, 20, 24, 3), dtype=np.float32)
+    want = run_torch(ref, x)
+    got = np.asarray(ours(x[0]))[None]
+    err = np.abs(got - want).max()
+    assert err < 1e-5, f'train->export->oracle parity: max err {err}'

