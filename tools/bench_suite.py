@@ -111,11 +111,11 @@ def _sd_numpy(model):
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
 
 
-def measure_tpu(model, tile: int, scale: int, batch: int) -> float:
+def measure_tpu(model, tile: int, scale: int, batch: int, dtype=None) -> float:
     """Calibrated on-device loop (shared methodology, resselt_tpu.benchmark)."""
     from resselt_tpu.benchmark import measure_forward
 
-    mps, _, _ = measure_forward(model, tile, batch)
+    mps, _, _ = measure_forward(model, tile, batch, dtype=dtype)
     return mps
 
 
@@ -209,6 +209,12 @@ def main(argv=None) -> int:
                                          dtype=jnp.bfloat16)
         else:
             mps = measure_tpu(model, c['tile'], c['scale'], c['batch'])
+            import jax.numpy as jnp
+
+            # bf16 is the recommended serving dtype — every row gets both
+            # columns (VERDICT r3 weak #4)
+            mps_bf16 = measure_tpu(model, c['tile'], c['scale'], c['batch'],
+                                   dtype=jnp.bfloat16)
         log(f'  tpu: {mps:.2f} MP/s f32'
             + (f', {mps_bf16:.2f} bf16' if mps_bf16 else '')
             + f' (measured in {time.perf_counter() - t0:.0f}s)')
