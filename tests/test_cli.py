@@ -218,3 +218,19 @@ def test_cli_batch_mixed_sizes_bucketed(tmp_path):
     for i, (h, w) in enumerate(sizes):
         out = Image.open(dst / f'{i}.png')
         assert out.size == (w * 2, h * 2), (i, out.size)
+
+
+def test_cache_preserves_serving_hints(tmp_path):
+    """All three loader-set serving hints survive the .npz round-trip —
+    the cache path exists FOR serving."""
+    from resselt_tpu.cache import load_model
+
+    model = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
+    model.tile_batch = {'f32': 2, 'bf16': 4}
+    model.serving_tile = 128
+    model.serving_halo = 8
+    save_model(model, str(tmp_path / 'h.npz'))
+    back = load_model(str(tmp_path / 'h.npz'))
+    assert back.tile_batch == {'f32': 2, 'bf16': 4}
+    assert back.serving_tile == 128
+    assert back.serving_halo == 8
