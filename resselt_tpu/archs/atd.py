@@ -341,6 +341,11 @@ def _load(sd) -> SRModel:
     # b2); bf16 peaks at batch 2 (6.63 vs 5.92 at b1)
     model.tile_batch = {'f32': 1, 'bf16': 2}
     model.serving_tile = 192
+    # seam PSNR is halo-INDEPENDENT for ATD (33.25 dB at h8/h16/h24 — the
+    # residual is AC_MSA's whole-image category statistics, not seams), so
+    # the fastest halo per dtype wins: bf16 9.60 at h8 vs 9.20 at h16;
+    # f32 6.24 at h16 vs 5.90 at h8 (13-window grids pessimize f32 only)
+    model.serving_halo = {'f32': 16, 'bf16': 8}
     return model
 
 

@@ -302,6 +302,10 @@ def _load(sd) -> SRModel:
     # window count crosses the fused-attention gate (ops/window_attention)
     model.tile_batch = {'f32': 4, 'bf16': 8}
     model.serving_tile = 128
+    # halo 8 at seam parity (69.72 dB vs 69.67 at h16): 4.14 vs 3.11 f32 /
+    # 5.33 vs 4.13 bf16 MP/s at 720p (sweep_halo.json) — the 144^2 padded
+    # window does 23% less work than h16's 160^2
+    model.serving_halo = 8
     return model
 
 

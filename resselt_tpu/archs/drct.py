@@ -130,6 +130,9 @@ def _load(sd) -> SRModel:
     # and b2 all lose
     model.tile_batch = 1
     model.serving_tile = 128
+    # halo 8 at identical seam PSNR (49.53 dB at h8/h16/h24): 6.69 vs 5.27
+    # f32 / 10.55 vs 8.29 bf16 MP/s at 720p (sweep_halo.json)
+    model.serving_halo = 8
     return model
 
 

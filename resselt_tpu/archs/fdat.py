@@ -183,6 +183,10 @@ def _load(sd) -> SRModel:
     # safe joint pick.
     model.tile_batch = 2
     model.serving_tile = 128
+    # halo 8 at seam parity (76.0 dB at every halo): 19.7 vs 13.6 f32 /
+    # 21.6 vs 15.0 bf16 MP/s at 720p (sweep_halo.json) — the largest halo
+    # win in the suite (+45%)
+    model.serving_halo = 8
     return model
 
 

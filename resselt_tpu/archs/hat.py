@@ -298,6 +298,11 @@ def _load(sd) -> SRModel:
     # beats 128 at this batch (the round-2 "tiles>128 worse" note was b8)
     model.tile_batch = 2
     model.serving_tile = 192
+    # halo swept (sweep_halo.json): HAT is the one tiled transformer where
+    # smaller halos LOSE — h8's 208px window is a 13-wide window grid that
+    # XLA runs slower than h16's 224px/14-wide (f32 3.33 vs 3.86, bf16 5.81
+    # vs 6.51); h24 loses outright.  Keep the driver default explicit.
+    model.serving_halo = 16
     return model
 
 

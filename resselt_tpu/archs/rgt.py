@@ -237,6 +237,9 @@ def _load(sd) -> SRModel:
     # noise-derived).
     model.tile_batch = 2
     model.serving_tile = 128
+    # halo 8 at seam parity (52.3-52.5 dB across halos): 5.41 vs 4.13 f32 /
+    # 7.21 vs 5.44 bf16 MP/s at 720p (sweep_halo.json)
+    model.serving_halo = 8
     return model
 
 

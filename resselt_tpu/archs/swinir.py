@@ -206,6 +206,9 @@ def _load(sd) -> SRModel:
     # (sweep_tiled.json swinir rows)
     model.tile_batch = 1
     model.serving_tile = 128
+    # halo 8 passes seam parity (48.28 dB vs 48.27 at h16, sweep_halo.json)
+    # and wins big: 8.11 vs 5.42 f32 / 8.41 vs 7.13 bf16 MP/s at 720p t128
+    model.serving_halo = 8
     return model
 
 

@@ -119,8 +119,11 @@ class SRModel:
         # per-arch by tools/sweep_halo.py under a seam-parity gate — halo
         # recompute is (window^2 - tile^2)/tile^2 extra work per tile
         # (~56% at t128 h16), so the smallest halo that keeps seams
-        # invisible is the serving optimum.  None = driver default 16.
-        self.serving_halo: int | None = None
+        # invisible is the serving optimum.  An int, or a per-dtype dict
+        # like tile_batch (ATD: bf16 prefers 8, f32 16 — the 13-window
+        # t192+2*8 grid is an XLA pathology only in f32, sweep_halo.json).
+        # None = driver default 16.
+        self.serving_halo: int | dict | None = None
         self._apply_fn = apply_fn
 
         # kernel-dispatch flags (e.g. nn.window.use_fused_attention) are

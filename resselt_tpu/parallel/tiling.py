@@ -189,6 +189,17 @@ def upscale_padded(
     return out[0] if squeeze else out
 
 
+def _resolve_dtype_hint(val, eff_dtype):
+    """Resolve an ``int | {'f32': n, 'bf16': m}`` serving hint against the
+    dtype the tiles will actually run in (normalized so strings like
+    'bfloat16' and np/jnp dtype objects compare equal)."""
+    if isinstance(val, dict):
+        eff = np.dtype(eff_dtype)
+        group = 'bf16' if eff in (np.dtype(jnp.bfloat16), np.dtype(jnp.float16)) else 'f32'
+        return val.get(group) or val.get('f32')
+    return val
+
+
 def _plan_tiled(model, h: int, w: int, tile: int, halo: int,
                 batch_size: int | None, eff_dtype, mesh):
     """Resolve the tile grid + batch for an (h, w) image, or None when the
@@ -223,13 +234,7 @@ def _plan_tiled(model, h: int, w: int, tile: int, halo: int,
         # 'bf16': m} dict when the sweet spot is dtype-dependent (ATD:
         # f32 tile rows are gather-bandwidth-bound and prefer smaller
         # batches than bf16, tools/sweep_tiled.py)
-        tb = getattr(model, 'tile_batch', None)
-        if isinstance(tb, dict):
-            # normalize so strings ('bfloat16') and np/jnp dtypes compare
-            # equal to the type objects
-            eff = np.dtype(eff_dtype)
-            group = 'bf16' if eff in (np.dtype(jnp.bfloat16), np.dtype(jnp.float16)) else 'f32'
-            tb = tb.get(group) or tb.get('f32')
+        tb = _resolve_dtype_hint(getattr(model, 'tile_batch', None), eff_dtype)
         batch_size = min(n, tb or 8)
     if mesh is not None:
         # tiles are sharded over the FIRST mesh axis only (see the
@@ -285,12 +290,13 @@ def tiled_program(model, h: int, w: int, *, tile: int | None = None,
     overhead; the fn is also reusable for ahead-of-time compile warming."""
     if tile is None:
         tile = getattr(model, 'serving_tile', None) or 256
+    eff_dtype = dtype if dtype is not None else jnp.float32
     if halo is None:
-        halo = getattr(model, 'serving_halo', None) or 16
+        halo = _resolve_dtype_hint(getattr(model, 'serving_halo', None),
+                                   eff_dtype) or 16
     scale = model.metadata.upscale
     if not isinstance(scale, int):
         raise ValueError('tiled driver requires an integer upscale factor')
-    eff_dtype = dtype if dtype is not None else jnp.float32
     planned = _plan_tiled(model, h, w, tile, halo, batch_size, eff_dtype, mesh)
     if planned is None:
         return None, scale
@@ -343,7 +349,8 @@ def upscale_tiled(
         # conv-model default 256
         tile = getattr(model, 'serving_tile', None) or 256
     if halo is None:
-        halo = getattr(model, 'serving_halo', None) or 16
+        halo = _resolve_dtype_hint(getattr(model, 'serving_halo', None),
+                                   dtype if dtype is not None else jnp.float32) or 16
     image = jnp.asarray(image)
     if image.ndim != 3:
         raise ValueError('upscale_tiled expects an HWC image')
