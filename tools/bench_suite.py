@@ -218,8 +218,16 @@ def main(argv=None) -> int:
         log(f'  tpu: {mps:.2f} MP/s f32'
             + (f', {mps_bf16:.2f} bf16' if mps_bf16 else '')
             + f' (measured in {time.perf_counter() - t0:.0f}s)')
-        base = None
-        if not args.skip_baseline:
+        if args.skip_baseline:
+            # cached baselines still populate the table; skip only MEASURING
+            cached = {}
+            if os.path.exists(CACHE):
+                try:
+                    cached = json.load(open(CACHE))
+                except Exception:
+                    cached = {}
+            base = cached.get(f'{name}@{c["tile"]}')
+        else:
             base = measure_torch_cpu(name, c['model'], c['tile'], c['scale'])
         rows.append((name, c, mps, mps_bf16, base, tile_flops))
 

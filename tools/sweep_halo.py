@@ -35,9 +35,14 @@ import bench_suite as bs  # noqa: E402  (shared configs + measurement)
 
 ROW = {'hat': 'hat-s 4x tiled-HD', 'dat': 'dat-s 4x tiled-HD',
        'atd': 'atd-light 4x tiled-FHD', 'swinir': 'swinir-m 4x'}
-FAMILY_ROW = {'drct': 'drct-l 4x', 'rgt': 'rgt 2x', 'fdat': 'fdat-m 4x'}
+FAMILY_ROW = {'drct': 'drct-l 4x', 'rgt': 'rgt 2x', 'fdat': 'fdat-m 4x',
+              # conv families (driver default t256 h16 = 26% halo overhead;
+              # receptive fields exceed any halo, so the seam gate decides)
+              'esrgan': 'esrgan 4x', 'compact': 'compact 4x',
+              'plksr': 'plksr 4x', 'span': 'span 4x'}
 HW = {'swinir': (720, 1280), 'drct': (720, 1280), 'rgt': (720, 1280),
-      'fdat': (720, 1280)}
+      'fdat': (720, 1280), 'esrgan': (720, 1280), 'compact': (720, 1280),
+      'plksr': (720, 1280), 'span': (720, 1280)}
 # Only halos that land on DISTINCT padded model windows matter: with the
 # core fixed at `tile`, the grid (and tile count) is halo-independent, and
 # every model pads the window up to its own multiple (ws or split_size), so
@@ -46,6 +51,11 @@ HW = {'swinir': (720, 1280), 'drct': (720, 1280), 'rgt': (720, 1280),
 # a weakly smaller receptive-field margin.  h8/h16/h24 cover the distinct
 # windows for every tiled family (ws 8 or 16).
 HALOS = (8, 16, 24)
+# conv models have no window padding (every halo is a distinct window) and
+# no odd-grid attention pathology; smaller halos are pure win IF the seam
+# gate passes despite the large conv receptive fields
+CONV_HALOS = (4, 8, 16)
+CONV = ('esrgan', 'compact', 'plksr', 'span')
 VALID = tuple(ROW) + tuple(FAMILY_ROW)
 
 
@@ -110,9 +120,10 @@ def main(argv=None) -> int:
         model = resselt_tpu.load_from_state_dict(bs._sd_numpy(ctor().eval()))
         tile = model.serving_tile or 256
         tb = model.tile_batch
+        halos = CONV_HALOS if arch in CONV else HALOS
 
         # seam parity first (cheap: two dispatches per halo, f32)
-        for halo in HALOS:
+        for halo in halos:
             pkey = f'{arch} t{tile} h{halo} seam_psnr'
             if pkey in done:
                 continue
@@ -127,7 +138,7 @@ def main(argv=None) -> int:
         # throughput at every halo (including the h16 baseline, same-run)
         for dname, dt in (('f32', None), ('bf16', jnp.bfloat16)):
             b = (tb.get(dname) if isinstance(tb, dict) else tb) or 8
-            for halo in HALOS:
+            for halo in halos:
                 key = f'{arch} {hw[1]}x{hw[0]} t{tile} b{b} h{halo} {dname}'
                 if key in done:
                     continue
@@ -149,7 +160,7 @@ def main(argv=None) -> int:
         if not base_k:
             continue
         base = done[base_k[0]]
-        for halo in HALOS:
+        for halo in (CONV_HALOS if arch in CONV else HALOS):
             pk = [k for k in done if k.startswith(f'{arch} ') and k.endswith(f'h{halo} seam_psnr')]
             psnr = done[pk[0]] if pk else None
             ok = (isinstance(psnr, (int, float)) and isinstance(base, (int, float))
