@@ -124,6 +124,34 @@ def test_tiled_serving_halo_hint():
     assert model.with_config().serving_halo == 8
 
 
+def test_tiled_dtype_aware_serving_halo():
+    """serving_halo may be a {'f32': n, 'bf16': m} dict like tile_batch
+    (ATD: the odd-window-grid pathology hits f32 only, sweep_halo.json);
+    the driver resolves it against the serving dtype."""
+    import jax.numpy as jnp
+
+    model = _compact_model()
+    img = np.random.default_rng(9).random((70, 90, 3), dtype=np.float32)
+
+    model.serving_tile = 32
+    model.serving_halo = {'f32': 8, 'bf16': 4}
+    f32_hinted = np.asarray(upscale_tiled(model, img))
+    f32_explicit = np.asarray(upscale_tiled(model, img, tile=32, halo=8))
+    assert np.abs(f32_hinted - f32_explicit).max() < 1e-6
+
+    b16_hinted = np.asarray(upscale_tiled(model, img, dtype=jnp.bfloat16),
+                            dtype=np.float32)
+    b16_explicit = np.asarray(
+        upscale_tiled(model, img, tile=32, halo=4, dtype=jnp.bfloat16),
+        dtype=np.float32)
+    assert np.abs(b16_hinted - b16_explicit).max() < 1e-6
+    # the two dtypes compiled DIFFERENT grids (halo 8 vs 4)
+    grids = {key[0] for key in model._tiled_fn_cache}
+    assert len(grids) == 2
+    # dict hint survives clones and normalizes string dtypes
+    assert model.with_config().serving_halo == {'f32': 8, 'bf16': 4}
+
+
 def test_tiled_dtype_aware_tile_batch():
     """SRModel.tile_batch may be a {'f32': n, 'bf16': m} dict; the driver
     resolves it against the serving dtype and output is batch-invariant."""
