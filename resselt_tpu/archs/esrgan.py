@@ -288,7 +288,11 @@ def _load(sd) -> SRModel:
         meta_in_nc //= shuffle_factor**2
         meta_scale //= shuffle_factor
     meta = ModelMetadata(in_channels=meta_in_nc, out_channels=out_nc, upscale=meta_scale, name='ESRGAN')
-    return SRModel('ESRGAN', cfg, dict(sd), meta, apply)
+    model = SRModel('ESRGAN', cfg, dict(sd), meta, apply)
+    # halo 4 at seam parity (53.1 dB vs 53.4 at h16, sweep_halo.json):
+    # 11.4 vs 9.6 f32 / 18.9 vs 16.3 bf16 MP/s tiled 720p t256
+    model.serving_halo = 4
+    return model
 
 
 ARCH = Architecture(

@@ -170,7 +170,12 @@ def _load(sd) -> SRModel:
         raise ValueError('Unknown model type')
 
     meta = ModelMetadata(in_channels=in_nc, out_channels=out_nc, upscale=scale, name=name)
-    return SRModel('PLKSR', cfg, dict(sd), meta, apply)
+    model = SRModel('PLKSR', cfg, dict(sd), meta, apply)
+    # halo 4 seams at 63.7 dB (max pixel err well under 1/255; the 17x17
+    # partial convs widen the receptive field vs other conv models but
+    # stay invisible): 27.4 vs 23.4 f32 / 31.7 vs 26.5 bf16 MP/s 720p t256
+    model.serving_halo = 4
+    return model
 
 
 ARCH = Architecture(

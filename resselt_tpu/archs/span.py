@@ -78,7 +78,11 @@ def _load(sd) -> SRModel:
     )
     params = {k: v for k, v in transform_params(sd).items() if k != 'no_norm'}
     meta = ModelMetadata(in_channels=num_in_ch, out_channels=num_out_ch, upscale=upscale, name='SPAN')
-    return SRModel('SPAN', cfg, params, meta, apply)
+    model = SRModel('SPAN', cfg, params, meta, apply)
+    # halo 4 seams at 62.7 dB (invisible): 243 vs 221 f32 / 342 vs 294
+    # bf16 MP/s tiled 720p t256 (sweep_halo.json)
+    model.serving_halo = 4
+    return model
 
 
 ARCH = Architecture(

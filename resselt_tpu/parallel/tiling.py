@@ -200,6 +200,20 @@ def _resolve_dtype_hint(val, eff_dtype):
     return val
 
 
+def _resolve_halo_hint(model, tile: int, eff_dtype) -> int:
+    """Resolve the serving halo for ``tile``: the loader's measured
+    ``serving_halo`` hint applies only at the tile it was swept at
+    (``serving_tile``/256 — seam divergence grows as tiles shrink, so a
+    halo measured at t256 is untested at a caller-overridden t128);
+    any other tile gets the conservative driver default 16."""
+    hint_tile = getattr(model, 'serving_tile', None) or 256
+    if tile == hint_tile:
+        halo = _resolve_dtype_hint(getattr(model, 'serving_halo', None), eff_dtype)
+        if halo:
+            return halo
+    return 16
+
+
 def _plan_tiled(model, h: int, w: int, tile: int, halo: int,
                 batch_size: int | None, eff_dtype, mesh):
     """Resolve the tile grid + batch for an (h, w) image, or None when the
@@ -292,8 +306,7 @@ def tiled_program(model, h: int, w: int, *, tile: int | None = None,
         tile = getattr(model, 'serving_tile', None) or 256
     eff_dtype = dtype if dtype is not None else jnp.float32
     if halo is None:
-        halo = _resolve_dtype_hint(getattr(model, 'serving_halo', None),
-                                   eff_dtype) or 16
+        halo = _resolve_halo_hint(model, tile, eff_dtype)
     scale = model.metadata.upscale
     if not isinstance(scale, int):
         raise ValueError('tiled driver requires an integer upscale factor')
@@ -349,8 +362,8 @@ def upscale_tiled(
         # conv-model default 256
         tile = getattr(model, 'serving_tile', None) or 256
     if halo is None:
-        halo = _resolve_dtype_hint(getattr(model, 'serving_halo', None),
-                                   dtype if dtype is not None else jnp.float32) or 16
+        halo = _resolve_halo_hint(model, tile,
+                                  dtype if dtype is not None else jnp.float32)
     image = jnp.asarray(image)
     if image.ndim != 3:
         raise ValueError('upscale_tiled expects an HWC image')

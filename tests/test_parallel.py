@@ -124,6 +124,28 @@ def test_tiled_serving_halo_hint():
     assert model.with_config().serving_halo == 8
 
 
+def test_halo_hint_applies_only_at_its_swept_tile():
+    """serving_halo was measured AT serving_tile; a caller-overridden tile
+    gets the conservative default 16 (seam divergence grows as tiles
+    shrink, so the measured pair must travel together)."""
+    import jax.numpy as jnp
+
+    from resselt_tpu.parallel.tiling import _resolve_halo_hint
+
+    model = _compact_model()
+    model.serving_tile = 256
+    model.serving_halo = 4
+    assert _resolve_halo_hint(model, 256, jnp.float32) == 4
+    assert _resolve_halo_hint(model, 128, jnp.float32) == 16
+    model.serving_halo = {'f32': 16, 'bf16': 8}
+    assert _resolve_halo_hint(model, 256, jnp.bfloat16) == 8
+    assert _resolve_halo_hint(model, 256, jnp.float32) == 16
+    # no hints at all -> default 16 at the default tile
+    model.serving_halo = None
+    model.serving_tile = None
+    assert _resolve_halo_hint(model, 256, jnp.float32) == 16
+
+
 def test_tiled_dtype_aware_serving_halo():
     """serving_halo may be a {'f32': n, 'bf16': m} dict like tile_batch
     (ATD: the odd-window-grid pathology hits f32 only, sweep_halo.json);
