@@ -135,12 +135,9 @@ def main(argv=None) -> int:
     if args.interpret:
         return 0
 
-    # rate: pallas per-row DMA gather vs XLA flattened take (the shipped
-    # formulation, archs/atd.py) on equivalent payloads
-    per = bench_scalar_loop(lambda d: tile_gather(src, d, blk), idx,
-                            f'pallas tile-gather {n} rows (BLK={blk})')
-    print(f'  -> {per / n * 1e9:.1f} ns/row, {n * 4096 / per / 1e9:.1f} GB/s moved')
-
+    # rate: XLA flattened take (the shipped formulation, archs/atd.py)
+    # FIRST — the pallas kernel has crashed the TPU worker once, and a
+    # crash mid-probe must not cost the baselines.
     rows288 = jnp.asarray(rng.random((n, 288), dtype=np.float32))
     per_x = bench_scalar_loop(lambda d: jnp.take(rows288, d, axis=0), idx,
                               f'XLA take {n} rows x 288 f32 (shipped)')
@@ -150,6 +147,10 @@ def main(argv=None) -> int:
     per_xb = bench_scalar_loop(lambda d: jnp.take(rows_b, d, axis=0), idx,
                                f'XLA take {n} rows x 288 bf16 (shipped)')
     print(f'  -> {per_xb / n * 1e9:.1f} ns/row')
+
+    per = bench_scalar_loop(lambda d: tile_gather(src, d, blk), idx,
+                            f'pallas tile-gather {n} rows (BLK={blk})')
+    print(f'  -> {per / n * 1e9:.1f} ns/row, {n * 4096 / per / 1e9:.1f} GB/s moved')
 
     print()
     ratio = per / per_x
