@@ -113,8 +113,9 @@ class SRModel:
         self.tile_batch: int | dict | None = None
         # loader-set hint for the tiled driver's tile size: transformers
         # measure fastest well below the conv default of 256 (end-to-end
-        # sweep in sweep_tiled.json).  None = use the driver default.
-        self.serving_tile: int | None = None
+        # sweep in sweep_tiled.json).  An int, or a per-dtype dict like
+        # tile_batch.  None = use the driver default.
+        self.serving_tile: int | dict | None = None
         # loader-set hint for the tiled driver's halo (overlap): measured
         # per-arch by tools/sweep_halo.py under a seam-parity gate — halo
         # recompute is (window^2 - tile^2)/tile^2 extra work per tile

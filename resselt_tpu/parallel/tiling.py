@@ -200,13 +200,19 @@ def _resolve_dtype_hint(val, eff_dtype):
     return val
 
 
+def _resolve_tile_hint(model, eff_dtype) -> int:
+    """Resolve ``SRModel.serving_tile`` (an int, or a per-dtype dict like
+    ``tile_batch``) against the serving dtype; conv-model default 256."""
+    return _resolve_dtype_hint(getattr(model, 'serving_tile', None), eff_dtype) or 256
+
+
 def _resolve_halo_hint(model, tile: int, eff_dtype) -> int:
     """Resolve the serving halo for ``tile``: the loader's measured
     ``serving_halo`` hint applies only at the tile it was swept at
     (``serving_tile``/256 — seam divergence grows as tiles shrink, so a
     halo measured at t256 is untested at a caller-overridden t128);
     any other tile gets the conservative driver default 16."""
-    hint_tile = getattr(model, 'serving_tile', None) or 256
+    hint_tile = _resolve_tile_hint(model, eff_dtype)
     if tile == hint_tile:
         halo = _resolve_dtype_hint(getattr(model, 'serving_halo', None), eff_dtype)
         if halo:
@@ -302,9 +308,9 @@ def tiled_program(model, h: int, w: int, *, tile: int | None = None,
     when the image fits in one window.  ``resselt_tpu.benchmark`` wraps
     ``fn`` in an on-device loop to time the driver without per-dispatch
     overhead; the fn is also reusable for ahead-of-time compile warming."""
-    if tile is None:
-        tile = getattr(model, 'serving_tile', None) or 256
     eff_dtype = dtype if dtype is not None else jnp.float32
+    if tile is None:
+        tile = _resolve_tile_hint(model, eff_dtype)
     if halo is None:
         halo = _resolve_halo_hint(model, tile, eff_dtype)
     scale = model.metadata.upscale
@@ -357,13 +363,13 @@ def upscale_tiled(
     ``upscale_padded``'s shape bucketing.  Interior output is unchanged;
     pixels within the model's receptive field of the pad seam can differ
     slightly from the model's own border handling."""
+    eff_dtype = dtype if dtype is not None else jnp.float32
     if tile is None:
         # per-arch measured sweet spot (loader-set, sweep_tiled.json);
         # conv-model default 256
-        tile = getattr(model, 'serving_tile', None) or 256
+        tile = _resolve_tile_hint(model, eff_dtype)
     if halo is None:
-        halo = _resolve_halo_hint(model, tile,
-                                  dtype if dtype is not None else jnp.float32)
+        halo = _resolve_halo_hint(model, tile, eff_dtype)
     image = jnp.asarray(image)
     if image.ndim != 3:
         raise ValueError('upscale_tiled expects an HWC image')

@@ -162,7 +162,10 @@ def main(argv=None) -> int:
         logger.info('int8-quantized eligible conv weights (lossy serving mode)')
 
     if args.tile == 'auto':
-        args.tile = model.serving_tile or 256
+        from resselt_tpu.parallel.tiling import _resolve_tile_hint
+        import jax.numpy as jnp
+
+        args.tile = _resolve_tile_hint(model, jnp.bfloat16 if args.bf16 else jnp.float32)
         logger.info('tile auto -> %d (%s)', args.tile,
                     'arch sweet spot' if model.serving_tile else 'default')
     else:

@@ -227,10 +227,10 @@ def test_cache_preserves_serving_hints(tmp_path):
 
     model = resselt_tpu.load_from_state_dict(make_compact(num_feat=16, num_conv=2, upscale=2))
     model.tile_batch = {'f32': 2, 'bf16': 4}
-    model.serving_tile = 128
+    model.serving_tile = {'f32': 192, 'bf16': 128}
     model.serving_halo = 8
     save_model(model, str(tmp_path / 'h.npz'))
     back = load_model(str(tmp_path / 'h.npz'))
     assert back.tile_batch == {'f32': 2, 'bf16': 4}
-    assert back.serving_tile == 128
+    assert back.serving_tile == {'f32': 192, 'bf16': 128}
     assert back.serving_halo == 8

@@ -146,6 +146,34 @@ def test_halo_hint_applies_only_at_its_swept_tile():
     assert _resolve_halo_hint(model, 256, jnp.float32) == 16
 
 
+def test_dtype_aware_serving_tile():
+    """serving_tile may be a {'f32': n, 'bf16': m} dict like tile_batch;
+    the halo hint's swept-tile gate follows the tile resolved for the SAME
+    serving dtype."""
+    import jax.numpy as jnp
+
+    from resselt_tpu.parallel.tiling import _resolve_halo_hint, _resolve_tile_hint
+
+    model = _compact_model()
+    model.serving_tile = {'f32': 48, 'bf16': 32}
+    assert _resolve_tile_hint(model, jnp.float32) == 48
+    assert _resolve_tile_hint(model, jnp.bfloat16) == 32
+    assert _resolve_tile_hint(model, np.float32) == 48  # np dtypes normalize too
+
+    model.serving_halo = {'f32': 12, 'bf16': 8}
+    assert _resolve_halo_hint(model, 32, jnp.bfloat16) == 8
+    assert _resolve_halo_hint(model, 48, jnp.float32) == 12
+    # tile swept for the OTHER dtype -> conservative default
+    assert _resolve_halo_hint(model, 48, jnp.bfloat16) == 16
+    assert _resolve_halo_hint(model, 32, jnp.float32) == 16
+
+    # driver-level: tile=None resolves per dtype, equivalent to explicit
+    img = np.random.default_rng(9).random((70, 90, 3), dtype=np.float32)
+    hinted = np.asarray(upscale_tiled(model, img, dtype=jnp.bfloat16))
+    explicit = np.asarray(upscale_tiled(model, img, tile=32, halo=8, dtype=jnp.bfloat16))
+    assert np.abs(hinted - explicit).max() < 1e-6
+
+
 def test_tiled_dtype_aware_serving_halo():
     """serving_halo may be a {'f32': n, 'bf16': m} dict like tile_batch
     (ATD: the odd-window-grid pathology hits f32 only, sweep_halo.json);
