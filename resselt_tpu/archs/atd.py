@@ -346,6 +346,7 @@ def _load(sd) -> SRModel:
     # the fastest halo per dtype wins: bf16 9.60 at h8 vs 9.20 at h16;
     # f32 6.24 at h16 vs 5.90 at h8 (13-window grids pessimize f32 only)
     model.serving_halo = {'f32': 16, 'bf16': 8}
+    model.size_multiple = window_size
     return model
 
 

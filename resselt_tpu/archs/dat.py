@@ -306,6 +306,7 @@ def _load(sd) -> SRModel:
     # 5.33 vs 4.13 bf16 MP/s at 720p (sweep_halo.json) — the 144^2 padded
     # window does 23% less work than h16's 160^2
     model.serving_halo = 8
+    model.size_multiple = max(split_size)  # per-attention pad granule
     return model
 
 

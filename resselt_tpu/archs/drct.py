@@ -133,6 +133,7 @@ def _load(sd) -> SRModel:
     # halo 8 at identical seam PSNR (49.53 dB at h8/h16/h24): 6.69 vs 5.27
     # f32 / 10.55 vs 8.29 bf16 MP/s at 720p (sweep_halo.json)
     model.serving_halo = 8
+    model.size_multiple = window_size
     return model
 
 

@@ -187,6 +187,10 @@ def _load(sd) -> SRModel:
     # 21.6 vs 15.0 bf16 MP/s at 720p (sweep_halo.json) — the largest halo
     # win in the suite (+45%)
     model.serving_halo = 8
+    # unshuffle stems see (H/unshuffle, W/unshuffle): input windows must be
+    # multiples of window_size * unshuffle for re-pad-free tiling
+    unshuffle = 4 // scale if (unshuffle_mod and scale < 3) else 1
+    model.size_multiple = window_size * unshuffle
     return model
 
 

@@ -303,6 +303,7 @@ def _load(sd) -> SRModel:
     # XLA runs slower than h16's 224px/14-wide (f32 3.33 vs 3.86, bf16 5.81
     # vs 6.51); h24 loses outright.  Keep the driver default explicit.
     model.serving_halo = 16
+    model.size_multiple = window_size
     return model
 
 

@@ -240,6 +240,7 @@ def _load(sd) -> SRModel:
     # halo 8 at seam parity (52.3-52.5 dB across halos): 5.41 vs 4.13 f32 /
     # 7.21 vs 5.44 bf16 MP/s at 720p (sweep_halo.json)
     model.serving_halo = 8
+    model.size_multiple = max(split_size)
     return model
 
 

@@ -209,6 +209,7 @@ def _load(sd) -> SRModel:
     # halo 8 passes seam parity (48.28 dB vs 48.27 at h16, sweep_halo.json)
     # and wins big: 8.11 vs 5.42 f32 / 8.41 vs 7.13 bf16 MP/s at 720p t128
     model.serving_halo = 8
+    model.size_multiple = window_size  # window-aligned derived halos off-hint
     return model
 
 

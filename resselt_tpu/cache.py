@@ -41,6 +41,7 @@ def save_model(model: SRModel, path: str) -> None:
         'tile_batch': model.tile_batch,
         'serving_tile': model.serving_tile,
         'serving_halo': model.serving_halo,
+        'size_multiple': model.size_multiple,
     }
     arrays = {k: np.asarray(v) for k, v in model.params.items()}
     np.savez(path, __header__=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8), **arrays)
@@ -83,4 +84,5 @@ def load_model(path: str) -> SRModel:
     model.tile_batch = header.get('tile_batch')
     model.serving_tile = header.get('serving_tile')
     model.serving_halo = header.get('serving_halo')
+    model.size_multiple = header.get('size_multiple')
     return model

@@ -125,6 +125,15 @@ class SRModel:
         # t192+2*8 grid is an XLA pathology only in f32, sweep_halo.json).
         # None = driver default 16.
         self.serving_halo: int | dict | None = None
+        # loader-set spatial-geometry multiple: the model internally pads
+        # (H, W) up to multiples of this (attention window size, max split
+        # size, unshuffle factor, or their lcm).  The tiled driver uses it
+        # to derive a window-aligned halo for tiles the halo sweep never
+        # visited (parallel/tiling._resolve_halo_hint): a tile window that
+        # is not a multiple forces an internal re-pad on EVERY tile — the
+        # hat t192 h4/h12 sweep anomaly (sweep_halo.json).  None = no
+        # internal spatial padding (plain conv archs).
+        self.size_multiple: int | None = None
         self._apply_fn = apply_fn
 
         # kernel-dispatch flags (e.g. nn.window.use_fused_attention) are
@@ -173,6 +182,7 @@ class SRModel:
         clone.tile_batch = self.tile_batch
         clone.serving_tile = self.serving_tile
         clone.serving_halo = self.serving_halo
+        clone.size_multiple = self.size_multiple
         return clone
 
     def apply(self, params, x: jax.Array) -> jax.Array:
@@ -211,6 +221,7 @@ class SRModel:
         clone.tile_batch = self.tile_batch
         clone.serving_tile = self.serving_tile
         clone.serving_halo = self.serving_halo
+        clone.size_multiple = self.size_multiple
         return clone
 
     def cost(self, height: int, width: int, batch: int = 1) -> dict:

@@ -125,9 +125,11 @@ def test_tiled_serving_halo_hint():
 
 
 def test_halo_hint_applies_only_at_its_swept_tile():
-    """serving_halo was measured AT serving_tile; a caller-overridden tile
-    gets the conservative default 16 (seam divergence grows as tiles
-    shrink, so the measured pair must travel together)."""
+    """serving_halo applies verbatim AT serving_tile; any other tile gets
+    the geometry-derived halo (VERDICT-r4 #4): the swept halo is the
+    seam-safe floor (conv halos bound the receptive field, which is
+    tile-independent; transformer seam PSNR measured halo-independent),
+    window-aligned when the arch sets size_multiple."""
     import jax.numpy as jnp
 
     from resselt_tpu.parallel.tiling import _resolve_halo_hint
@@ -136,7 +138,8 @@ def test_halo_hint_applies_only_at_its_swept_tile():
     model.serving_tile = 256
     model.serving_halo = 4
     assert _resolve_halo_hint(model, 256, jnp.float32) == 4
-    assert _resolve_halo_hint(model, 128, jnp.float32) == 16
+    # conv arch (no size_multiple): the floor travels to any tile
+    assert _resolve_halo_hint(model, 128, jnp.float32) == 4
     model.serving_halo = {'f32': 16, 'bf16': 8}
     assert _resolve_halo_hint(model, 256, jnp.bfloat16) == 8
     assert _resolve_halo_hint(model, 256, jnp.float32) == 16
@@ -144,6 +147,66 @@ def test_halo_hint_applies_only_at_its_swept_tile():
     model.serving_halo = None
     model.serving_tile = None
     assert _resolve_halo_hint(model, 256, jnp.float32) == 16
+
+
+def test_derived_halo_window_alignment():
+    """Off-hint tiles get the smallest halo >= the swept floor whose full
+    window is a multiple of the arch's size_multiple — no per-tile
+    internal re-pad (the hat t192 h4/h12 anomaly, sweep_halo.json)."""
+    import jax.numpy as jnp
+
+    from resselt_tpu.parallel.tiling import _resolve_halo_hint, derive_halo
+
+    # pure rule: already aligned / needs rounding / odd multiple (ws=7)
+    assert derive_halo(128, 8, 8) == 8        # 144 = 18*8
+    assert derive_halo(100, 8, 8) == 10       # 120 = 15*8 (116/118 not)
+    assert derive_halo(128, 8, 7) == 13       # 154 = 22*7
+    assert derive_halo(128, 16, 16) == 16     # 160 = 10*16
+    assert derive_halo(100, 16, 16) == 22     # 144 = 9*16
+    assert derive_halo(128, 8, None) == 8     # conv arch: floor only
+    # even multiple + odd tile: no aligned window exists -> floor
+    assert derive_halo(127, 8, 8) == 8
+
+    # end-to-end through the hint resolver on a transformer-like model
+    model = _compact_model()
+    model.serving_tile = 128
+    model.serving_halo = 8
+    model.size_multiple = 8
+    assert _resolve_halo_hint(model, 128, jnp.float32) == 8   # swept pair
+    assert _resolve_halo_hint(model, 100, jnp.float32) == 10  # derived
+    assert _resolve_halo_hint(model, 192, jnp.float32) == 8   # 208 = 26*8
+    # hat-like: ws=16, swept h16 at t192; off-hint t100 aligns to 144
+    model.serving_tile = 192
+    model.serving_halo = 16
+    model.size_multiple = 16
+    assert _resolve_halo_hint(model, 100, jnp.float32) == 22
+    # hint survives the loaders: every tiled transformer carries geometry
+    from resselt_tpu.zoo import make_swinir
+
+    sw = resselt_tpu.load_from_state_dict(make_swinir(
+        embed_dim=16, depths=(2,), num_heads=(2,), window_size=8, upscale=2))
+    assert sw.size_multiple == 8
+    assert sw.with_config().size_multiple == 8
+
+
+def test_derived_halo_seam_parity_off_default_tiles():
+    """The derived halo must keep seams at least as clean as the swept
+    pair: tile the same image at 2 off-default tiles and compare against
+    the whole-image run (tiny swinir, window 8)."""
+    from resselt_tpu.metrics import psnr
+
+    model = resselt_tpu.load_from_state_dict(make_swinir(
+        embed_dim=16, depths=(2,), num_heads=(2,), window_size=8, upscale=2))
+    model.serving_tile = 32
+    model.serving_halo = 8
+    img = np.random.default_rng(3).random((72, 88, 3), dtype=np.float32)
+    whole = np.asarray(model(img))
+    base = psnr(np.asarray(upscale_tiled(model, img, tile=32)), whole)
+    for tile in (24, 40):  # off-hint: derived halos (24+2*8=40, 40+2*8=56 — both aligned at the floor)
+        tiled = np.asarray(upscale_tiled(model, img, tile=tile))
+        p = psnr(tiled, whole)
+        assert p > 40, (tile, p)
+        assert p > base - 3, (tile, p, base)
 
 
 def test_dtype_aware_serving_tile():
@@ -163,9 +226,10 @@ def test_dtype_aware_serving_tile():
     model.serving_halo = {'f32': 12, 'bf16': 8}
     assert _resolve_halo_hint(model, 32, jnp.bfloat16) == 8
     assert _resolve_halo_hint(model, 48, jnp.float32) == 12
-    # tile swept for the OTHER dtype -> conservative default
-    assert _resolve_halo_hint(model, 48, jnp.bfloat16) == 16
-    assert _resolve_halo_hint(model, 32, jnp.float32) == 16
+    # tile swept for the OTHER dtype -> that dtype's floor (geometry rule;
+    # no size_multiple on a conv arch, so the floor applies unrounded)
+    assert _resolve_halo_hint(model, 48, jnp.bfloat16) == 8
+    assert _resolve_halo_hint(model, 32, jnp.float32) == 12
 
     # driver-level: tile=None resolves per dtype, equivalent to explicit
     img = np.random.default_rng(9).random((70, 90, 3), dtype=np.float32)

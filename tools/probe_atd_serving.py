@@ -17,7 +17,11 @@ halos AT t192.  Unexplored cells with a plausible story:
 Every verdict is a same-run comparison against the current-hint baseline
 cell.  Results land in probe_atd_serving.json (atomic, resumable).  Any
 adopted cell whose (tile, halo) pair was never seam-checked must first
-pass the sweep_halo-style seam parity gate (--seam runs it).
+pass the sweep_halo-style seam parity gate (--seam runs it).  The gate
+runs f32 at batch 1 only: round 4 established seam PSNR is halo- and
+batch-independent across the swept grid, and bf16 seam parity is inferred
+from f32 (the seam residual is content divergence of windowed attention,
+orders above the bf16 rounding floor — advisor r4 note).
 
     python tools/probe_atd_serving.py [--cells N] [--seam]
 """

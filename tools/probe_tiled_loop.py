@@ -92,7 +92,9 @@ def main(argv=None) -> int:
                         continue
                     if model is None:
                         model = resselt_tpu.load_from_state_dict(bs._sd_numpy(ctor().eval()))
-                    tile = getattr(model, 'serving_tile', None) or 256
+                    from resselt_tpu.parallel.tiling import _resolve_tile_hint
+                    # per-dtype dict hints resolve per serving dtype (advisor r4)
+                    tile = _resolve_tile_hint(model, dt if dt is not None else jnp.float32)
                     try:
                         if meth == 'direct':
                             mps = _measure_direct(model, hw, tile, dt)

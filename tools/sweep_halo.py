@@ -98,6 +98,7 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     import resselt_tpu
+    from resselt_tpu.parallel import tiling
 
     done = {}
     if os.path.exists(OUT):
@@ -118,7 +119,11 @@ def main(argv=None) -> int:
             ctor, _, _ = bf._configs()[FAMILY_ROW[arch]]
             hw = HW[arch]
         model = resselt_tpu.load_from_state_dict(bs._sd_numpy(ctor().eval()))
-        tile = model.serving_tile or 256
+        # per-dtype dict hints resolve per serving dtype (advisor r4); the
+        # seam gate runs f32, the timing loop re-resolves per dtype below
+        tile_by_dt = {dn: tiling._resolve_tile_hint(model, dt)
+                      for dn, dt in (('f32', jnp.float32), ('bf16', jnp.bfloat16))}
+        tile = tile_by_dt['f32']
         tb = model.tile_batch
         halos = CONV_HALOS if arch in CONV else HALOS
 
@@ -138,12 +143,13 @@ def main(argv=None) -> int:
         # throughput at every halo (including the h16 baseline, same-run)
         for dname, dt in (('f32', None), ('bf16', jnp.bfloat16)):
             b = (tb.get(dname) if isinstance(tb, dict) else tb) or 8
+            dt_tile = tile_by_dt[dname]
             for halo in halos:
-                key = f'{arch} {hw[1]}x{hw[0]} t{tile} b{b} h{halo} {dname}'
+                key = f'{arch} {hw[1]}x{hw[0]} t{dt_tile} b{b} h{halo} {dname}'
                 if key in done:
                     continue
                 try:
-                    mps = bs.measure_tpu_tiled(model, hw, tile, batch_size=b,
+                    mps = bs.measure_tpu_tiled(model, hw, dt_tile, batch_size=b,
                                                dtype=dt, halo=halo)
                 except Exception as e:
                     done[key] = f'FAIL {type(e).__name__}: {str(e)[:100]}'
