@@ -336,15 +336,22 @@ def _load(sd) -> SRModel:
     params = {k: v for k, v in sd.items() if k != 'no_norm'}
     meta = ModelMetadata(in_channels=in_chans, out_channels=in_chans, upscale=upscale, name='ATD')
     model = SRModel('ATD', cfg, params, meta, apply)
-    # measured on v5e (sweep_tiled.json, FHD t192): f32 tile rows are
-    # gather-bandwidth-bound and peak at batch 1 (4.84 vs 4.02 MP/s at
-    # b2); bf16 peaks at batch 2 (6.63 vs 5.92 at b1)
+    # measured on v5e (sweep_tiled.json FHD; probe_atd_serving.json r5):
+    # f32 tile rows are gather-bandwidth-bound and peak at batch 1,
+    # bf16 at batch 2 (6.63 vs 5.92 at t192)
     model.tile_batch = {'f32': 1, 'bf16': 2}
-    model.serving_tile = 192
-    # seam PSNR is halo-INDEPENDENT for ATD (33.25 dB at h8/h16/h24 — the
-    # residual is AC_MSA's whole-image category statistics, not seams), so
-    # the fastest halo per dtype wins: bf16 9.60 at h8 vs 9.20 at h16;
-    # f32 6.24 at h16 vs 5.90 at h8 (13-window grids pessimize f32 only)
+    # r5 tile re-sweep at the tuned halos (probe_atd_serving.json): t160
+    # wins BOTH dtypes — f32 7.22 MP/s (b1 h16: 192px window, EVEN
+    # 12-wide grid, vs 6.23 at t192/5.88 t128/5.78 t224) closing the r3
+    # ">= 7 MP/s" target, bf16 10.80 (b2 h8: 176px 11-wide odd grid is
+    # fine in bf16, vs 9.58 at t192/9.86 t128b4).  Seam PSNR at t160 is
+    # 32.57-32.58 dB vs 33.25 at t192 — within the halo/batch-independent
+    # content-divergence band (the residual is AC_MSA's whole-image
+    # category statistics, not seams; it drifts ~1 dB with tile size:
+    # 31.6 at t128, 33.05 at t224).
+    model.serving_tile = 160
+    # fastest halo per dtype (halo-independent seams): f32 needs the even
+    # grid (h16), bf16 takes h8's smaller window
     model.serving_halo = {'f32': 16, 'bf16': 8}
     model.size_multiple = window_size
     return model

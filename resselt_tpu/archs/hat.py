@@ -302,6 +302,17 @@ def _load(sd) -> SRModel:
     # smaller halos LOSE — h8's 208px window is a 13-wide window grid that
     # XLA runs slower than h16's 224px/14-wide (f32 3.33 vs 3.86, bf16 5.81
     # vs 6.51); h24 loses outright.  Keep the driver default explicit.
+    # The h4/h12 "better seams" sweep anomaly is EXPLAINED and rejected
+    # (probe_hat_seam.json, r5): throughput collapses by PADDED window
+    # (h12==h16 exactly: 3.865/3.863 f32, 6.508/6.511 bf16 — HAT pads
+    # 216->224 internally), and the 13-18 dB seam-PSNR gap is entirely an
+    # IMAGE-BORDER band (last 8 output px; seam bands equal interior noise
+    # for every halo).  It appears only when the image side is NOT a
+    # window multiple (the metric's 483px geometry): the whole-image run
+    # reflect-pads 13 rows while h16's unpadded border-flush tiles
+    # mask-truncate, whereas h12's internal 8-row reflect pad mimics the
+    # whole run.  At multiple-of-16 serving sizes (720p/FHD/4K) the whole
+    # image has no pad and h16 matches it exactly — h16 keeps both hints.
     model.serving_halo = 16
     model.size_multiple = window_size
     return model

@@ -94,8 +94,9 @@ def main(argv=None) -> int:
                              'IGConv trains one tail per scale; default = base scale)')
     parser.add_argument('--halo', type=int, default=None,
                         help='tile halo/overlap (default: the arch\'s measured '
-                             'seam-parity-gated sweet spot when --tile matches the '
-                             'tile it was swept at, else 16)')
+                             'seam-parity-gated sweet spot at its swept tile; any '
+                             'other --tile derives the smallest window-aligned '
+                             'halo >= that seam-safe floor)')
     parser.add_argument('--bucket', action='store_true',
                         help='pad inputs to tile multiples so mixed-size batches share one '
                              'compiled tile grid (slight border deviation within the halo)')

@@ -178,7 +178,7 @@ def test_cache_preserves_serving_hints(tmp_path):
     from resselt_tpu.zoo import make_atd, make_compact
 
     atd = resselt_tpu.load_from_state_dict(make_atd())
-    assert atd.tile_batch == {'f32': 1, 'bf16': 2} and atd.serving_tile == 192
+    assert atd.tile_batch == {'f32': 1, 'bf16': 2} and atd.serving_tile == 160
     p = tmp_path / 'atd.npz'
     save_model(atd, str(p))
     back = load_model(str(p))

@@ -101,9 +101,34 @@ def _torch_models(quick: bool):
                 category_size=128, num_tokens=64, reducted_dim=8, convffn_kernel_size=7,
                 mlp_ratio=1, upsampler='pixelshuffledirect', upscale=4,
             ),
-            scale=4, tile=192, batch=1, tiled_input=(544, 960) if quick else (1080, 1920),
+            scale=4, tile=160, batch=1, tiled_input=(544, 960) if quick else (1080, 1920),
         ),
     }
+
+    # --- extra (non-BASELINE) serving rows ------------------------------
+    # VERDICT-r4 #8: the tuned-halo fdat/swinir tiled serving numbers live
+    # only in CLAUDE.md prose; carry them in the suite table.
+    from resselt.archs.fdat.arch import FDAT
+
+    cfgs['swinir-m 4x tiled-HD'] = dict(
+        model=cfgs['swinir-m 4x']['model'], extra=True,
+        scale=4, tile=128, batch=1, tiled_input=(480, 640) if quick else (720, 1280),
+    )
+    cfgs['fdat-m 4x tiled-HD'] = dict(
+        model=lambda: FDAT(), extra=True,  # fdat-m defaults (bench_families row)
+        scale=4, tile=128, batch=1, tiled_input=(480, 640) if quick else (720, 1280),
+    )
+    # VERDICT-r4 #3: BASELINE config 5 names "overlap-tiled 4K input"; the
+    # FHD rows above never exercised the ~4x larger grid (bucketing, VMEM
+    # at the serving batch, stitch cost).  Same models/hints, 3840x2160.
+    for src, dst in (('hat-s 4x tiled-HD', 'hat-s 4x tiled-4K'),
+                     ('dat-s 4x tiled-HD', 'dat-s 4x tiled-4K'),
+                     ('atd-light 4x tiled-FHD', 'atd-light 4x tiled-4K')):
+        c = dict(cfgs[src])
+        c['tiled_input'] = (1080, 1920) if quick else (2160, 3840)
+        c['extra'] = True
+        c['baseline_key'] = src  # same model+tile: share the CPU baseline
+        cfgs[dst] = c
     return cfgs
 
 
@@ -136,6 +161,7 @@ def measure_tpu_tiled(model, hw: tuple[int, int], tile: int,
 
 
 def measure_torch_cpu(name: str, build, tile: int, scale: int) -> float:
+    """Per-MP torch-CPU rate, cached by (name, tile)."""
     cached = {}
     if os.path.exists(CACHE):
         try:
@@ -165,12 +191,28 @@ def measure_torch_cpu(name: str, build, tile: int, scale: int) -> float:
 
 
 def _enable_cache():
+    """Enable the persistent XLA cache AND print a tunnel-health line
+    (VERDICT-r4 #7): every bench/sweep tool shares this entry point, so a
+    wedged axon worker produces a diagnostic instead of a silent hang.
+    Health failure only warns — the main measurement may still succeed
+    (transient wedges recover), and it has its own calibration guards."""
     try:
         from resselt_tpu.compile_cache import enable_compilation_cache
 
         enable_compilation_cache()
     except Exception:
         pass
+    if os.environ.get('RESSELT_SKIP_HEALTH'):
+        return
+    try:
+        from tpu_health import check
+
+        h = check(timeout_s=90.0)
+        log(f'tpu_health: {json.dumps(h)}')
+        if not h.get('ok'):
+            log('tpu_health: WARNING — tunnel unhealthy; proceeding anyway')
+    except Exception as e:
+        log(f'tpu_health probe failed: {e}')
 
 
 def main(argv=None) -> int:
@@ -218,6 +260,7 @@ def main(argv=None) -> int:
         log(f'  tpu: {mps:.2f} MP/s f32'
             + (f', {mps_bf16:.2f} bf16' if mps_bf16 else '')
             + f' (measured in {time.perf_counter() - t0:.0f}s)')
+        bkey = c.get('baseline_key', name)
         if args.skip_baseline:
             # cached baselines still populate the table; skip only MEASURING
             cached = {}
@@ -226,9 +269,9 @@ def main(argv=None) -> int:
                     cached = json.load(open(CACHE))
                 except Exception:
                     cached = {}
-            base = cached.get(f'{name}@{c["tile"]}')
+            base = cached.get(f'{bkey}@{c["tile"]}')
         else:
-            base = measure_torch_cpu(name, c['model'], c['tile'], c['scale'])
+            base = measure_torch_cpu(bkey, c['model'], c['tile'], c['scale'])
         rows.append((name, c, mps, mps_bf16, base, tile_flops))
 
     lines = [
@@ -238,6 +281,8 @@ def main(argv=None) -> int:
         '|---|---|---|---|---|---|---|---|---|',
     ]
     for name, c, mps, mps_bf16, base, tile_flops in rows:
+        if c.get('extra'):
+            name = name + ' *'
         size = f'{c["tiled_input"][1]}x{c["tiled_input"][0]} tiled {c["tile"]}' if 'tiled_input' in c else str(c['tile'])
         sp = f'{mps / base:.0f}x' if base else '-'
         bs = f'{base:.3f}' if base else '-'
@@ -254,6 +299,10 @@ def main(argv=None) -> int:
             f'| {name} | {size} | {c["batch"]} | {mps:.2f} | {b16} | '
             f'{tflops:.1f} | {100 * tflops / PEAK_TFLOPS:.1f} | {bs} | **{sp}** |'
         )
+    lines.append('')
+    lines.append('`*` = extra serving rows beyond the five BASELINE configs '
+                 '(VERDICT-r4 #3/#8: tuned-halo fdat/swinir-tiled, and the '
+                 '4K overlap-tiled grid BASELINE.md:29 names for config 5).')
     out = '\n'.join(lines) + '\n'
     if not (args.only or args.quick):  # partial/reduced runs must not clobber the full table
         open(os.path.join(REPO, 'bench_suite.md'), 'w').write(out)

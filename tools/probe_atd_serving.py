@@ -96,7 +96,13 @@ def main(argv=None) -> int:
             if key in done:
                 print(f'{key}: {done[key]:.2f} dB (cached)', flush=True)
                 continue
-            db = float(_seam_psnr(model, tile, halo, 1))
+            # cap the whole-image side: 2.5*224+3 = 563^2 exceeded the
+            # tunnel's compile-request body limit (HTTP 413); 2*tile+3
+            # still has a real seam grid (2 windows per axis)
+            side = 2 * tile + tile // 2 + 3
+            if side > 520:
+                side = 2 * tile + 3
+            db = float(_seam_psnr(model, tile, halo, 1, side=side))
             done[key] = db
             _save(done)
             print(f'{key}: {db:.2f} dB', flush=True)

@@ -33,7 +33,9 @@ def bench(fn, x, label, reps=4, min_seconds=1.5):
         def body(_, carry):
             y = carry
             for _ in range(reps):
-                y = y + jnp.asarray(1e-6, y.dtype) * fn(y)
+                # shape-agnostic dependency: mean keeps every output
+                # element live (no DCE) whatever shape fn returns
+                y = y + jnp.asarray(1e-6, y.dtype) * jnp.mean(fn(y)).astype(y.dtype)
             return y
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x0).astype(jnp.float32))

@@ -67,15 +67,18 @@ def _save(done: dict) -> None:
     os.replace(tmp, OUT)
 
 
-def _seam_psnr(model, tile: int, halo: int, batch) -> float:
+def _seam_psnr(model, tile: int, halo: int, batch, side: int | None = None) -> float:
     """PSNR of the tiled output vs the whole-image forward (f32)."""
     import numpy as np
 
     from resselt_tpu.parallel import upscale_tiled
 
     # a moderate image with a real seam grid at this tile (odd size so the
-    # last row/col windows are border-flush, exercising both stitch cases)
-    side = 2 * tile + tile // 2 + 3
+    # last row/col windows are border-flush, exercising both stitch cases).
+    # Callers cap `side` when the whole-image compile would blow the
+    # tunnel's request-body limit (HTTP 413 at ~563^2 ATD, probe_atd_serving)
+    if side is None:
+        side = 2 * tile + tile // 2 + 3
     img = np.random.default_rng(7).random((side, side, model.metadata.in_channels),
                                           dtype=np.float32)
     whole = np.asarray(model(img), dtype=np.float32)

@@ -25,9 +25,14 @@ import sys
 import time
 
 _CHILD = r"""
-import json, time, sys
+import json, os, time, sys
 t0 = time.perf_counter()
 import jax, jax.numpy as jnp
+# tests force the CPU backend this way: the environment's sitecustomize
+# force-registers the axon TPU plugin, which overrides $JAX_PLATFORMS
+plat_override = os.environ.get('RESSELT_HEALTH_PLATFORM')
+if plat_override:
+    jax.config.update('jax_platforms', plat_override)
 d = jax.devices()
 init_s = time.perf_counter() - t0
 plat = d[0].platform
