@@ -160,3 +160,51 @@ def measure_tiled(model, hw, tile: int | None = None, halo: int | None = None,
     per_frame = calibrated_per_iter(run, iters, min_seconds)
     mps = h * w * scale * scale / 1e6 / per_frame
     return mps, per_frame
+
+
+def measure_tiled_direct(model, hw, tile: int | None = None,
+                         halo: int | None = None,
+                         batch_size: int | None = None, dtype=None,
+                         iters: int = 2, min_seconds: float = 2.0):
+    """``measure_tiled`` without the outer on-device fori_loop.
+
+    The looped methodology CRASHES the TPU worker on very large tile grids
+    (hat-s at 4K: ~220 windows of 224^2 through a 36-block body — the
+    round-1 "large transformer in a fori_loop" pathology at driver scale;
+    reproduced twice in r5).  Here each frame is a separate dispatch with
+    a scalar readback; per-frame time is seconds at 4K, so the ~30 ms
+    tunnel round-trip per iteration is <2% and the two-run delta still
+    cancels the fixed setup.  Returns ``(mps, sec_per_frame)``."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .parallel.tiling import tiled_program
+
+    h, w = hw
+    fn, scale = tiled_program(model, h, w, tile=tile, halo=halo,
+                              batch_size=batch_size, dtype=dtype)
+    if fn is None:
+        raise ValueError(f'({h}, {w}) fits in one tile window; use measure_forward')
+    in_ch = model.metadata.in_channels
+    img = jnp.asarray(np.random.default_rng(0).random((h, w, in_ch), dtype=np.float32))
+    if dtype is not None:
+        img = img.astype(dtype)
+    img = jax.device_put(img)  # upload outside the timed region
+
+    reduce_fn = jax.jit(lambda y: jnp.sum(y[:: max(1, (h * scale) // 64)].astype(jnp.float32)))
+
+    def one_frame():
+        return float(reduce_fn(fn(model.params, img)))
+
+    one_frame()  # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            one_frame()  # per-frame readback: honest, <2% at 4K scales
+        return time.perf_counter() - t0
+
+    per_frame = calibrated_per_iter(run, iters, min_seconds)
+    mps = h * w * scale * scale / 1e6 / per_frame
+    return mps, per_frame

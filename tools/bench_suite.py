@@ -152,11 +152,24 @@ def measure_tpu_tiled(model, hw: tuple[int, int], tile: int,
     Calibrated on-device loop around the driver's single-dispatch program
     (resselt_tpu.benchmark.measure_tiled) — validated against direct
     single-dispatch timing on all seven tiled families (agreement <= 3%,
-    the cancelled per-dispatch tunnel latency; probe_tiled_loop.json)."""
-    from resselt_tpu.benchmark import measure_tiled
+    the cancelled per-dispatch tunnel latency; probe_tiled_loop.json).
 
-    mps, _ = measure_tiled(model, hw, tile=tile, batch_size=batch_size, dtype=dtype,
-                           halo=halo)
+    4K-class grids (> ~120 tile windows) use the direct-dispatch variant:
+    the looped program reproducibly CRASHES the TPU worker at that scale
+    (r5; the round-1 large-transformer-loop pathology), and at seconds per
+    frame the per-dispatch latency is <2% anyway."""
+    from resselt_tpu.benchmark import measure_tiled, measure_tiled_direct
+    from resselt_tpu.parallel.tiling import _plan_tiled, _resolve_halo_hint
+
+    import jax.numpy as jnp
+
+    eff = dtype if dtype is not None else jnp.float32
+    h = halo if halo is not None else _resolve_halo_hint(model, tile, eff)
+    planned = _plan_tiled(model, hw[0], hw[1], tile, h, batch_size, eff, None)
+    n_windows = len(planned[0].ys) * len(planned[0].xs) if planned else 0
+    meas = measure_tiled_direct if n_windows > 120 else measure_tiled
+    mps, _ = meas(model, hw, tile=tile, batch_size=batch_size, dtype=dtype,
+                  halo=halo)
     return mps
 
 
@@ -221,9 +234,23 @@ def main(argv=None) -> int:
     ap.add_argument('--quick', action='store_true', help='smaller tiled input for the ATD row')
     ap.add_argument('--skip-baseline', action='store_true')
     ap.add_argument('--only', default=None, help='substring filter on config names')
+    ap.add_argument('--fresh', action='store_true',
+                    help='ignore the measured-row cache (.bench_suite_rows.json)')
     args = ap.parse_args(argv)
 
     import resselt_tpu
+
+    # row-level resumability: a TPU worker crash mid-suite (the 4K hat row
+    # took one down in r5) must not lose the rows already measured.  Keyed
+    # on everything that changes the measured program; delete the file (or
+    # pass --fresh) to force a re-measure.
+    row_cache_path = os.path.join(REPO, '.bench_suite_rows.json')
+    row_cache = {}
+    if os.path.exists(row_cache_path) and not args.fresh:
+        try:
+            row_cache = json.load(open(row_cache_path))
+        except Exception:
+            row_cache = {}
 
     cfgs = _torch_models(args.quick)
     rows = []
@@ -242,21 +269,39 @@ def main(argv=None) -> int:
             # parallel/tiling.py); surface it in the batch column
             tb = getattr(model, 'tile_batch', None) or 8
             c['batch'] = f"{tb.get('f32', 8)}/{tb.get('bf16', 8)}" if isinstance(tb, dict) else tb
-            mps = measure_tpu_tiled(model, c['tiled_input'], c['tile'])
+            rkey = json.dumps([name, c['tile'], str(c['batch']),
+                               list(c.get('tiled_input', ())),
+                               model.serving_halo if not isinstance(model.serving_halo, dict)
+                               else sorted(model.serving_halo.items())])
             import jax.numpy as jnp
 
-            # bf16 is the recommended serving path (quality gated by the
-            # per-family column in parity_report.md)
-            mps_bf16 = measure_tpu_tiled(model, c['tiled_input'], c['tile'],
-                                         dtype=jnp.bfloat16)
+            if rkey in row_cache:
+                mps, mps_bf16 = row_cache[rkey]
+                log(f'  (row cache hit)')
+            else:
+                mps = measure_tpu_tiled(model, c['tiled_input'], c['tile'])
+                # bf16 is the recommended serving path (quality gated by the
+                # per-family column in parity_report.md)
+                mps_bf16 = measure_tpu_tiled(model, c['tiled_input'], c['tile'],
+                                             dtype=jnp.bfloat16)
         else:
-            mps = measure_tpu(model, c['tile'], c['scale'], c['batch'])
+            rkey = json.dumps([name, c['tile'], c['batch']])
             import jax.numpy as jnp
 
-            # bf16 is the recommended serving dtype — every row gets both
-            # columns (VERDICT r3 weak #4)
-            mps_bf16 = measure_tpu(model, c['tile'], c['scale'], c['batch'],
-                                   dtype=jnp.bfloat16)
+            if rkey in row_cache:
+                mps, mps_bf16 = row_cache[rkey]
+                log(f'  (row cache hit)')
+            else:
+                mps = measure_tpu(model, c['tile'], c['scale'], c['batch'])
+                # bf16 is the recommended serving dtype — every row gets both
+                # columns (VERDICT r3 weak #4)
+                mps_bf16 = measure_tpu(model, c['tile'], c['scale'], c['batch'],
+                                       dtype=jnp.bfloat16)
+        if rkey not in row_cache:
+            row_cache[rkey] = [mps, mps_bf16]
+            tmp = row_cache_path + '.tmp'
+            json.dump(row_cache, open(tmp, 'w'), indent=1)
+            os.replace(tmp, row_cache_path)
         log(f'  tpu: {mps:.2f} MP/s f32'
             + (f', {mps_bf16:.2f} bf16' if mps_bf16 else '')
             + f' (measured in {time.perf_counter() - t0:.0f}s)')
