@@ -236,7 +236,10 @@ def _load(sd) -> SRModel:
     # MP/s; b4 loses 22% in f32 — the earlier {'f32': 4} hint was
     # noise-derived).
     model.tile_batch = 2
-    model.serving_tile = 128
+    # r5 tile re-visit at TUNED halos (probe_tile_revisit.json): bf16
+    # prefers t160 (8.00 vs 7.32 at t128, +9.3%, reproduced twice; seam
+    # 53.1 dB >= t128's 52.3), f32 keeps t128 (5.43 vs 4.62); t192 loses.
+    model.serving_tile = {'f32': 128, 'bf16': 160}
     # halo 8 at seam parity (52.3-52.5 dB across halos): 5.41 vs 4.13 f32 /
     # 7.21 vs 5.44 bf16 MP/s at 720p (sweep_halo.json)
     model.serving_halo = 8

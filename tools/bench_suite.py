@@ -144,7 +144,7 @@ def measure_tpu(model, tile: int, scale: int, batch: int, dtype=None) -> float:
     return mps
 
 
-def measure_tpu_tiled(model, hw: tuple[int, int], tile: int,
+def measure_tpu_tiled(model, hw: tuple[int, int], tile: int | None = None,
                       batch_size: int | None = None, dtype=None,
                       halo: int | None = None) -> float:
     """End-to-end tiled-driver throughput on a large input.
@@ -159,11 +159,14 @@ def measure_tpu_tiled(model, hw: tuple[int, int], tile: int,
     (r5; the round-1 large-transformer-loop pathology), and at seconds per
     frame the per-dispatch latency is <2% anyway."""
     from resselt_tpu.benchmark import measure_tiled, measure_tiled_direct
-    from resselt_tpu.parallel.tiling import _plan_tiled, _resolve_halo_hint
+    from resselt_tpu.parallel.tiling import (_plan_tiled, _resolve_halo_hint,
+                                             _resolve_tile_hint)
 
     import jax.numpy as jnp
 
     eff = dtype if dtype is not None else jnp.float32
+    if tile is None:  # per-dtype dict hints (swinir/rgt bf16 t160) resolve here
+        tile = _resolve_tile_hint(model, eff)
     h = halo if halo is not None else _resolve_halo_hint(model, tile, eff)
     planned = _plan_tiled(model, hw[0], hw[1], tile, h, batch_size, eff, None)
     n_windows = len(planned[0].ys) * len(planned[0].xs) if planned else 0
@@ -269,20 +272,26 @@ def main(argv=None) -> int:
             # parallel/tiling.py); surface it in the batch column
             tb = getattr(model, 'tile_batch', None) or 8
             c['batch'] = f"{tb.get('f32', 8)}/{tb.get('bf16', 8)}" if isinstance(tb, dict) else tb
-            rkey = json.dumps([name, c['tile'], str(c['batch']),
+            import jax.numpy as jnp
+
+            from resselt_tpu.parallel.tiling import _resolve_tile_hint
+            t32 = _resolve_tile_hint(model, jnp.float32)
+            t16 = _resolve_tile_hint(model, jnp.bfloat16)
+            # display shows a per-dtype split as "t32/t16"; c['tile'] stays
+            # an int (cost analysis + CPU-baseline cache key use it)
+            c['tile_display'] = t32 if t32 == t16 else f'{t32}/{t16}'
+            rkey = json.dumps([name, [t32, t16], str(c['batch']),
                                list(c.get('tiled_input', ())),
                                model.serving_halo if not isinstance(model.serving_halo, dict)
                                else sorted(model.serving_halo.items())])
-            import jax.numpy as jnp
-
             if rkey in row_cache:
                 mps, mps_bf16 = row_cache[rkey]
                 log(f'  (row cache hit)')
             else:
-                mps = measure_tpu_tiled(model, c['tiled_input'], c['tile'])
+                mps = measure_tpu_tiled(model, c['tiled_input'])
                 # bf16 is the recommended serving path (quality gated by the
                 # per-family column in parity_report.md)
-                mps_bf16 = measure_tpu_tiled(model, c['tiled_input'], c['tile'],
+                mps_bf16 = measure_tpu_tiled(model, c['tiled_input'],
                                              dtype=jnp.bfloat16)
         else:
             rkey = json.dumps([name, c['tile'], c['batch']])
@@ -328,7 +337,8 @@ def main(argv=None) -> int:
     for name, c, mps, mps_bf16, base, tile_flops in rows:
         if c.get('extra'):
             name = name + ' *'
-        size = f'{c["tiled_input"][1]}x{c["tiled_input"][0]} tiled {c["tile"]}' if 'tiled_input' in c else str(c['tile'])
+        size = (f'{c["tiled_input"][1]}x{c["tiled_input"][0]} tiled '
+                f'{c.get("tile_display", c["tile"])}') if 'tiled_input' in c else str(c['tile'])
         sp = f'{mps / base:.0f}x' if base else '-'
         bs = f'{base:.3f}' if base else '-'
         b16 = f'{mps_bf16:.2f}' if mps_bf16 else '-'
