@@ -33,7 +33,10 @@ OUT = os.path.join(REPO, 'probe_tile_revisit.json')
 import bench_suite as bs  # noqa: E402
 
 HW = (720, 1280)
-TILES = (128, 160, 192)
+# r5 second pass: the f32 ranking decreased monotonically over
+# (128, 160, 192), so probe BELOW the hint too (96/112; derived halos
+# keep the window a multiple — e.g. ws8: 112 and 128 windows)
+TILES = (96, 112, 128, 160, 192)
 ROW = {'swinir': 'swinir-m 4x tiled-HD', 'dat': 'dat-s 4x tiled-HD',
        'fdat': 'fdat-m 4x tiled-HD'}
 FAMILY_ROW = {'drct': 'drct-l 4x', 'rgt': 'rgt 2x'}
