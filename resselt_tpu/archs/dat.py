@@ -301,7 +301,10 @@ def _load(sd) -> SRModel:
     # (2.55 vs 2.30 at b8); bf16 peaks at batch 8 (3.44), where the stacked
     # window count crosses the fused-attention gate (ops/window_attention)
     model.tile_batch = {'f32': 4, 'bf16': 8}
-    model.serving_tile = 128
+    # r5 small-tile re-visit (probe_tile_revisit/confirm.json): bf16
+    # prefers t96 (5.76 vs 5.33 at t128, +8%, reproduced; seam 69.6 dB
+    # == t128's 69.7); f32 keeps t128 (4.14 vs 3.36 at t96).
+    model.serving_tile = {'f32': 128, 'bf16': 96}
     # halo 8 at seam parity (69.72 dB vs 69.67 at h16): 4.14 vs 3.11 f32 /
     # 5.33 vs 4.13 bf16 MP/s at 720p (sweep_halo.json) — the 144^2 padded
     # window does 23% less work than h16's 160^2

@@ -129,7 +129,12 @@ def _load(sd) -> SRModel:
     # t128 b1 wins both dtypes (4.43 f32 / 6.80 bf16 MP/s); t160/t192
     # and b2 all lose
     model.tile_batch = 1
-    model.serving_tile = 128
+    # r5 small-tile re-visit at tuned halos (probe_tile_revisit.json +
+    # probe_tile_confirm.json): f32 keeps rising as tiles shrink — t96
+    # 8.16 vs t128 6.70 MP/s (+22%, reproduced; t80 ties t96, so the
+    # largest tile on the plateau wins) with seam 48.3 dB ~= t128's 49.5.
+    # bf16 stays t128 (10.57 vs 9.36 at t96).
+    model.serving_tile = {'f32': 96, 'bf16': 128}
     # halo 8 at identical seam PSNR (49.53 dB at h8/h16/h24): 6.69 vs 5.27
     # f32 / 10.55 vs 8.29 bf16 MP/s at 720p (sweep_halo.json)
     model.serving_halo = 8

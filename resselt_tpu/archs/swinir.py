@@ -209,7 +209,9 @@ def _load(sd) -> SRModel:
     # sweep ran off-hint tiles at the halo-16 cliff): bf16 prefers t160
     # (8.98 vs 8.41 at t128, +6.8%, reproduced twice; seam 49.2 dB >=
     # t128's 48.3), f32 keeps t128 (7.83 vs 7.71); t192 loses both.
-    model.serving_tile = {'f32': 128, 'bf16': 160}
+    # second pass below the hint: f32 t112 beat t128 in both runs (8.50 /
+    # 8.48 vs 7.83 / 8.13; seam 47.7 dB ~= t128's 48.3)
+    model.serving_tile = {'f32': 112, 'bf16': 160}
     # halo 8 passes seam parity (48.28 dB vs 48.27 at h16, sweep_halo.json)
     # and wins big: 8.11 vs 5.42 f32 / 8.41 vs 7.13 bf16 MP/s at 720p t128
     model.serving_halo = 8
